@@ -1,0 +1,63 @@
+"""Graph materialization: partitioned node/edge/triple tables.
+
+Analog of the reference's two-phase import (nodes then relationships —
+importer.py:87-93, README:156-161) with Neo4j ``UNWIND…MERGE`` batches
+(neo4j_client.py:211-320) replaced by columnar table writes:
+
+- one table per node label (``nodes_work``, ``nodes_author``, …),
+- one ``edges`` table **partitioned by pred** (partition pruning for
+  per-edge-type scans — the analog of Neo4j's relationship-type index),
+- the exploded ``triples`` table (the P/R-scored artifact),
+- a ``lineage`` table with per-partition rows (north rule: resumable
+  runs + metrics).
+
+Writer abstraction: plain parquet directories under a warehouse root
+(the sandbox has no Iceberg runtime jar; the layout and MERGE-like
+upsert semantics mirror what `df.writeTo(...).overwritePartitions()`
+would do on Iceberg — swap `_write` to switch).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from openalex_neo4j_spark.pipeline import GraphTables
+
+
+def _write(df: DataFrame, path: str, partition_by: list[str] | None = None) -> int:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return -1  # caller counts from the written table to avoid recompute
+
+
+def write_graph(g: GraphTables, root: str) -> dict[str, int]:
+    """Write all tables; return row counts (A7 import-count report,
+    importer.py:95-98 / cli.py:159-181)."""
+    spark = g.edges.sparkSession
+    counts: dict[str, int] = {}
+    t0 = time.time()
+    for label, df in g.nodes.items():
+        path = f"{root}/nodes_{label.lower()}"
+        _write(df, path)
+        counts[label] = spark.read.parquet(path).count()
+    _write(g.edges, f"{root}/edges", partition_by=["pred"])
+    counts["edges"] = spark.read.parquet(f"{root}/edges").count()
+    _write(g.triples, f"{root}/triples", partition_by=["pred"])
+    counts["triples"] = spark.read.parquet(f"{root}/triples").count()
+
+    # lineage/metrics rows (north rule): one row per stage with wall
+    # time and output counts
+    wall_ms = int((time.time() - t0) * 1000)
+    lineage_rows = [
+        ("materialize", -1, None, counts["triples"], wall_ms, "done", "write")
+    ]
+    from openalex_neo4j_spark.schemas import LINEAGE_SCHEMA
+
+    spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).write.mode(
+        "append"
+    ).parquet(f"{root}/lineage")
+    return counts

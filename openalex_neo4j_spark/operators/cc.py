@@ -1,0 +1,77 @@
+"""Hash-to-min connected components over an edge DataFrame.
+
+The canonicalization primitive (north rule: "hash-to-min connected
+components for canonicalizing duplicate Work/Author/Institution
+entities"). The reference needs no CC — Neo4j MERGE on the OpenAlex id
+is its canonicalizer (neo4j_client.py:246-252); on web pages identity
+must be *computed*, and duplicate-mention clusters are the components
+of the match graph.
+
+Implementation: label propagation to the component minimum
+(hash-to-min, Rastogi et al. 2012 style simplification). Each
+iteration is one shuffle (join labels->edges + min-aggregate);
+``localCheckpoint`` truncates lineage so plans stay bounded on long
+chains. Convergence is checked by counting changed labels; clusters
+here are small (duplicate-mention groups), so iterations ~ O(log d)
+with tiny d.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Return (node, component) with component = min node id (string
+    ordering) reachable in the undirected graph of ``edges``.
+
+    Scale notes: every iteration is `labels ⋈ edges` shuffled on the
+    node key followed by a min-aggregate (map-side partial agg). Both
+    sides are hash-partitioned on the same key, so Catalyst reuses the
+    exchange between iterations; AQE coalesces when the frontier
+    shrinks.
+    """
+    undirected = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    # include self-loops so each propagation round carries a node's own
+    # label — the loop then needs no union (a single join + min-agg per
+    # iteration, and unions of self-referencing plans are avoided)
+    nodes = undirected.select(F.col("a")).distinct()
+    sym = undirected.union(
+        nodes.select(F.col("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = nodes.select(
+        F.col("a").alias("node"), F.col("a").alias("component")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        lab = labels.select(
+            F.col("node").alias("_n"), F.col("component").alias("_c")
+        )
+        new_labels = (
+            sym.join(lab, sym["a"] == lab["_n"], "inner")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("_c").alias("component"))
+        )
+        # checkpoint every iteration: the changed-count action below
+        # would otherwise recompute the whole lineage chain
+        new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,272 @@
+"""End-to-end KG construction: pages -> mentions -> linked clusters ->
+node tables -> edge tables -> (subj, pred, obj) triples.
+
+Stage graph (re-expression of the reference's 7-step import,
+importer.py:36-98 — see SURVEY.md §3.1):
+
+  pages ──extract──> mentions ──link──> linked mentions (work_key)
+        ├─ work/author/institution/source/topic/funder/publisher nodes
+        │    (deterministic first-wins winners — A1 importer.py:100-104)
+        ├─ 7 edge types via explode + distinct (+ CITES endpoint
+        │    existence semi-join — F2 importer.py:242,293)
+        └─ triples = edges ∪ exploded node-property triples
+
+Scale notes:
+- the binary ``html`` column dies at the mention stage (column
+  pruning);
+- every dedup is an aggregate keyed on the entity id (map-side
+  partial agg), not a row window, except the Work winner pick which
+  needs ordered first-wins semantics;
+- CITES existence check is a left-semi join against the Work node
+  table, broadcast when small, shuffle-hash otherwise (AQE decides);
+- edge output is partitioned by ``pred`` downstream (materialize).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from openalex_neo4j_spark.extract import mentions_from_pages
+from openalex_neo4j_spark.linking import link_mentions
+
+
+def camel_label_expr(col):
+    """SQL camel-case: 'journal-article' -> 'JournalArticle'
+    (neo4j_client.py:11-31; initcap(lower(p)) == str.capitalize for
+    space-free parts)."""
+    return F.concat_ws(
+        "", F.transform(F.split(F.trim(col), "-"), lambda p: F.initcap(F.lower(p)))
+    )
+
+
+def _slug_expr(col):
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", "-")
+
+
+@dataclass
+class GraphTables:
+    nodes: dict[str, DataFrame]
+    edges: DataFrame
+    triples: DataFrame
+    mentions: DataFrame
+
+
+def work_nodes(linked: DataFrame) -> DataFrame:
+    """One row per Work cluster; properties from the deterministic
+    winner mention: DOI-bearing mention first (first-wins analog,
+    importer.py:100-104), else min(norm_title, title, url)."""
+    w = Window.partitionBy("work_key").orderBy(
+        F.col("doi").isNull().cast("int"),  # canonical mention first
+        F.col("norm_title"),
+        F.col("title"),
+        F.col("url"),
+    )
+    return (
+        linked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("work_key").alias("id"),
+            "title",
+            "norm_title",
+            F.col("publication_year"),
+            "type",
+            camel_label_expr(F.col("type")).alias("type_label"),
+            "doi",
+            "abstract",
+        )
+    )
+
+
+def author_nodes(linked: DataFrame) -> DataFrame:
+    a = linked.select(F.explode("authors").alias("a")).select(
+        F.col("a.orcid").alias("orcid"),
+        F.col("a.display_name").alias("display_name"),
+    ).filter(F.col("orcid").isNotNull() & (F.trim("orcid") != ""))
+    return a.groupBy("orcid").agg(
+        F.min("display_name").alias("display_name")
+    ).select(
+        F.concat(F.lit("orcid:"), F.trim("orcid")).alias("id"), "display_name",
+        F.col("orcid"),
+    )
+
+
+def institution_nodes(linked: DataFrame) -> DataFrame:
+    i = linked.select(F.explode("institutions").alias("i")).select(
+        F.col("i.ror").alias("ror"),
+        F.col("i.display_name").alias("display_name"),
+        F.col("i.country_code").alias("country_code"),
+    ).filter(F.col("ror").isNotNull() & (F.trim("ror") != ""))
+    return i.groupBy("ror").agg(
+        F.min("display_name").alias("display_name"),
+        F.min("country_code").alias("country_code"),
+    ).select(
+        F.concat(
+            F.lit("ror:"), F.element_at(F.split(F.trim("ror"), "/"), -1)
+        ).alias("id"),
+        "display_name", "country_code", "ror",
+    )
+
+
+def source_nodes(linked: DataFrame) -> DataFrame:
+    s = linked.filter(
+        F.col("issn").isNotNull() & (F.trim("issn") != "")
+    ).select(F.trim("issn").alias("issn"), F.col("venue"))
+    return s.groupBy("issn").agg(F.min("venue").alias("display_name")).select(
+        F.concat(F.lit("issn:"), F.col("issn")).alias("id"),
+        "display_name", "issn",
+    )
+
+
+def _named_nodes(linked: DataFrame, array_col: str, prefix: str) -> DataFrame:
+    n = linked.select(F.explode(array_col).alias("name")).filter(
+        F.col("name").isNotNull() & (F.trim("name") != "")
+    )
+    return n.select(F.trim("name").alias("display_name")).distinct().select(
+        F.concat(F.lit(prefix + ":"), _slug_expr(F.col("display_name"))).alias("id"),
+        "display_name",
+    )
+
+
+def publisher_nodes(linked: DataFrame) -> DataFrame:
+    p = linked.filter(
+        F.col("publisher").isNotNull() & (F.trim("publisher") != "")
+    ).select(F.trim("publisher").alias("display_name")).distinct()
+    return p.select(
+        F.concat(F.lit("publisher:"), _slug_expr("display_name")).alias("id"),
+        "display_name",
+    )
+
+
+def build_edges(linked: DataFrame, works: DataFrame) -> DataFrame:
+    """All 7 edge types (SURVEY §1.1 — code directions, not README's):
+    explode (J3 importer.py:238-247), cross-product quirk
+    (J4 :253-273), pair dedup (A3 :266-271), CITES endpoint existence
+    semi-join (F2 :293)."""
+    author_key = F.concat(F.lit("orcid:"), F.trim(F.col("a.orcid")))
+    inst_key = F.concat(
+        F.lit("ror:"), F.element_at(F.split(F.trim(F.col("i.ror")), "/"), -1)
+    )
+    issn_key = F.concat(F.lit("issn:"), F.trim(F.col("issn")))
+
+    authored = (
+        linked.select("work_key", F.explode("authors").alias("a"))
+        .filter(F.col("a.orcid").isNotNull() & (F.trim(F.col("a.orcid")) != ""))
+        .select(author_key.alias("subj"), F.lit("AUTHORED").alias("pred"),
+                F.col("work_key").alias("obj"))
+    )
+    affiliated = (
+        linked.select("work_key", F.explode("authors").alias("a"), "institutions")
+        .filter(F.col("a.orcid").isNotNull() & (F.trim(F.col("a.orcid")) != ""))
+        .select(author_key.alias("subj"), F.explode("institutions").alias("i"))
+        .filter(F.col("i.ror").isNotNull() & (F.trim(F.col("i.ror")) != ""))
+        .select("subj", F.lit("AFFILIATED_WITH").alias("pred"),
+                inst_key.alias("obj"))
+    )
+    published_in = (
+        linked.filter(F.col("issn").isNotNull() & (F.trim("issn") != ""))
+        .select(F.col("work_key").alias("subj"),
+                F.lit("PUBLISHED_IN").alias("pred"), issn_key.alias("obj"))
+    )
+    cites_raw = (
+        linked.select("work_key", F.explode("referenced_dois").alias("ref"))
+        .filter(F.col("ref").isNotNull() & (F.trim("ref") != ""))
+        .select(
+            F.col("work_key").alias("subj"),
+            F.lit("CITES").alias("pred"),
+            F.concat(F.lit("doi:"), F.lower(F.trim("ref"))).alias("obj"),
+        )
+        .filter(F.col("subj") != F.col("obj"))
+    )
+    # closed-world endpoint existence (importer.py:293): cited work
+    # must exist as a node
+    cites = cites_raw.join(
+        works.select(F.col("id").alias("obj")), "obj", "left_semi"
+    )
+    has_topic = (
+        linked.select("work_key", F.explode("topics").alias("t"))
+        .filter(F.col("t").isNotNull() & (F.trim("t") != ""))
+        .select(F.col("work_key").alias("subj"), F.lit("HAS_TOPIC").alias("pred"),
+                F.concat(F.lit("topic:"), _slug_expr(F.trim("t"))).alias("obj"))
+    )
+    funded_by = (
+        linked.select("work_key", F.explode("funders").alias("f"))
+        .filter(F.col("f").isNotNull() & (F.trim("f") != ""))
+        .select(F.col("work_key").alias("subj"), F.lit("FUNDED_BY").alias("pred"),
+                F.concat(F.lit("funder:"), _slug_expr(F.trim("f"))).alias("obj"))
+    )
+    published_by = (
+        linked.filter(
+            F.col("issn").isNotNull() & (F.trim("issn") != "")
+            & F.col("publisher").isNotNull() & (F.trim("publisher") != "")
+        )
+        .select(issn_key.alias("subj"), F.lit("PUBLISHED_BY").alias("pred"),
+                F.concat(F.lit("publisher:"),
+                         _slug_expr(F.trim("publisher"))).alias("obj"))
+    )
+    all_edges = (
+        authored.unionByName(affiliated).unionByName(published_in)
+        .unionByName(cites).unionByName(has_topic).unionByName(funded_by)
+        .unionByName(published_by)
+    )
+    # pair dedup across the union (A3 importer.py:266-271 generalized)
+    return all_edges.dropDuplicates(["subj", "pred", "obj"])
+
+
+def _prop_triples(df: DataFrame, props: list[str]) -> DataFrame:
+    parts = []
+    for p in props:
+        parts.append(
+            df.filter(F.col(p).isNotNull()).select(
+                F.col("id").alias("subj"),
+                F.lit(p).alias("pred"),
+                F.col(p).cast("string").alias("obj"),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def build_triples(nodes: dict[str, DataFrame], edges: DataFrame) -> DataFrame:
+    """triples = edges ∪ node-property triples ∪ (id, label, <Type>)."""
+    prop_map = {
+        "Work": ["title", "publication_year", "type", "type_label"],
+        "Author": ["display_name"],
+        "Institution": ["display_name", "country_code"],
+        "Source": ["display_name"],
+        "Topic": ["display_name"],
+        "Funder": ["display_name"],
+        "Publisher": ["display_name"],
+    }
+    parts = [edges]
+    for label, df in nodes.items():
+        parts.append(
+            df.select(F.col("id").alias("subj"), F.lit("label").alias("pred"),
+                      F.lit(label).alias("obj"))
+        )
+        parts.append(_prop_triples(df, prop_map[label]))
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out.dropDuplicates(["subj", "pred", "obj"])
+
+
+def build_graph(pages: DataFrame) -> GraphTables:
+    mentions = mentions_from_pages(pages)
+    linked = link_mentions(mentions).localCheckpoint()
+
+    nodes = {
+        "Work": work_nodes(linked),
+        "Author": author_nodes(linked),
+        "Institution": institution_nodes(linked),
+        "Source": source_nodes(linked),
+        "Topic": _named_nodes(linked, "topics", "topic"),
+        "Funder": _named_nodes(linked, "funders", "funder"),
+        "Publisher": publisher_nodes(linked),
+    }
+    edges = build_edges(linked, nodes["Work"])
+    triples = build_triples(nodes, edges)
+    return GraphTables(nodes=nodes, edges=edges, triples=triples, mentions=linked)

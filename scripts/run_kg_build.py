@@ -1,0 +1,74 @@
+"""spark-submit entrypoint: build the KG from a pages corpus.
+
+Usage:
+  spark-submit --master local[N] --py-files pkg.zip \
+      scripts/run_kg_build.py --n-works 200 --out /tmp/kg_out
+      [--pages /path/to/pages_parquet] [--report-pr]
+
+With --pages, reads an existing pages parquet table; otherwise
+generates the deterministic synthetic corpus (seed 42).
+Writes node/edge/triple tables under --out and prints a one-line
+JSON summary (counts + optional P/R vs the plain-Python oracle).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-works", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--pages", default=None)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--report-pr", action="store_true")
+    ap.add_argument("--num-partitions", type=int, default=32)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("kg-build").getOrCreate()
+
+    from openalex_neo4j_spark.corpus import build_world, pages_dataframe
+    from openalex_neo4j_spark.materialize import write_graph
+    from openalex_neo4j_spark.pipeline import build_graph
+
+    t0 = time.time()
+    world = None
+    if args.pages:
+        pages = spark.read.parquet(args.pages)
+    else:
+        world = build_world(args.n_works, seed=args.seed)
+        pages = pages_dataframe(spark, world, num_partitions=args.num_partitions)
+
+    g = build_graph(pages)
+    counts = write_graph(g, args.out)
+    wall = time.time() - t0
+
+    summary = {
+        "out": args.out,
+        "wall_sec": round(wall, 2),
+        "triples": counts["triples"],
+        "edges": counts["edges"],
+        "nodes": {k: v for k, v in counts.items()
+                  if k not in ("triples", "edges")},
+        "triples_per_sec": round(counts["triples"] / wall, 1),
+    }
+    if args.report_pr and world is not None:
+        from openalex_neo4j_spark.oracle import oracle_triples, precision_recall
+
+        pred = {(r.subj, r.pred, r.obj)
+                for r in spark.read.parquet(f"{args.out}/triples").collect()}
+        p, r = precision_recall(pred, oracle_triples(world))
+        summary["precision"] = round(p, 4)
+        summary["recall"] = round(r, 4)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
