@@ -1,0 +1,296 @@
+"""Hybrid retrieval over the built graph: vector + fulltext + RRF.
+
+Re-expression of the reference's ``HybridSearcher`` (search.py:43-84):
+
+  query ──embed──> vector top-2k  ─┐
+        └─fulltext top-2k ─────────┴─ RRF fuse ─ top-k ─ hydrate ─ sort
+
+- **Embeddings** (reference embeddings.py:12-103, M1-M3): a scalar
+  iterator pandas UDF; the engine ships a deterministic hash-based
+  featurizer honoring the 384-dim contract (neo4j_client.py:199-203)
+  so tests need no model download. A real sentence-transformer drops
+  into the same UDF shape (load-once-per-worker iterator pattern).
+- **Vector search** (M5, search.py:86-124): exact cosine top-k — the
+  query vector is a broadcast literal; dot product/norms computed
+  JVM-side with ``aggregate``/``zip_with`` (no Python in the hot
+  path). The approximate scale path is
+  :func:`openalex_neo4j_spark.operators.similarity.lsh_ann`.
+- **Fulltext search** (M6, search.py:126-152): TF-IDF sum scoring over
+  title+abstract tokens (Lucene-lite; the reference only ever passes
+  plain text — cli.py:309-315).
+- **RRF fusion** (W2, search.py:154-212): score = vw/(k+rank_v) +
+  fw/(k+rank_f), k=60; full-outer join of the two ranked legs, missing
+  ranks contribute 0. Over-fetch 2x per leg (search.py:64-67).
+- **Hydration** (J5, search.py:235-266): left joins edge->node with
+  collect_set aggregation, then re-sort by fused score (W5,
+  search.py:287).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, FloatType
+
+EMBED_DIM = 384  # dimension contract: reference neo4j_client.py:199-203
+RRF_K = 60       # reference search.py:49
+OVERFETCH = 2    # reference search.py:64-67
+
+
+# ---------------------------------------------------------------------------
+# Embeddings (M1-M3) — deterministic hash featurizer in the iterator
+# pandas-UDF shape a real model would use
+# ---------------------------------------------------------------------------
+
+def _hash_embed_one(text: str | None, dim: int = EMBED_DIM) -> list[float]:
+    """Deterministic bag-of-words feature hashing with L2 norm.
+
+    Token t adds sign(bit) at index md5(t) % dim — a stand-in with the
+    same type/shape contract as SentenceTransformer.encode (384 floats,
+    unit norm). Engine-stable: only depends on md5.
+    """
+    vec = np.zeros(dim, dtype=np.float64)
+    if text:
+        for tok in text.lower().split():
+            h = hashlib.md5(tok.encode("utf-8")).digest()
+            idx = int.from_bytes(h[:4], "big") % dim
+            sign = 1.0 if h[4] & 1 else -1.0
+            vec[idx] += sign
+    n = float(np.linalg.norm(vec))
+    if n > 0:
+        vec /= n
+    return [float(x) for x in vec]
+
+
+@F.pandas_udf(ArrayType(FloatType()))
+def hash_embed_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Iterator form: a real model would be loaded once per worker here
+    (the reference's lazy module-global — embeddings.py:9,21-27)."""
+    # model = load_model_once()   # <- real-model hook
+    for texts in it:
+        yield texts.map(_hash_embed_one)
+
+
+def embed_text_column(df: DataFrame, text_col: str,
+                      out_col: str = "embedding") -> DataFrame:
+    return df.withColumn(out_col, hash_embed_udf(F.col(text_col)))
+
+
+def work_embedding_text(works: DataFrame) -> DataFrame:
+    """M2 (embeddings.py:57-76): embed 'title. abstract[:1000]'
+    else title alone."""
+    return works.withColumn(
+        "_embed_text",
+        F.when(
+            F.col("abstract").isNotNull(),
+            F.concat_ws(". ", F.col("title"), F.substring("abstract", 1, 1000)),
+        ).otherwise(F.col("title")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector leg (M5) — exact cosine, JVM-side
+# ---------------------------------------------------------------------------
+
+def cosine_expr(vec_col, query: list[float]):
+    """cos(v, q) with q a broadcast literal array; evaluated with
+    zip_with + aggregate inside whole-stage codegen."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    dot = F.aggregate(
+        F.zip_with(vec_col, q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
+    nq = float(math.sqrt(sum(x * x for x in query))) or 1.0
+    return dot / (nv * F.lit(nq))
+
+
+def vector_topk(df: DataFrame, query: list[float], k: int,
+                id_col: str = "id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k (TakeOrderedAndProject — no full sort)."""
+    return (
+        df.select(F.col(id_col).alias("id"),
+                  cosine_expr(F.col(vec_col), query).alias("score"))
+        .filter(F.col("score").isNotNull())
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fulltext leg (M6) — TF-IDF sum scoring
+# ---------------------------------------------------------------------------
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.split(F.lower(F.regexp_replace(F.col(text_col),
+                                                 r"[^\w\s]", " ")), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+
+
+def build_fulltext_index(df: DataFrame, id_col: str = "id",
+                         text_col: str = "text") -> DataFrame:
+    """Materialized inverted index (term, id, weight) — the analog of
+    the reference's Lucene fulltext index DDL (neo4j_client.py:134-144).
+    weight = tf * idf with idf = ln((N+1)/(df+1)) + 1."""
+    toks = _doc_tokens(df, id_col, text_col)
+    tf = toks.groupBy("id", "tok").agg(F.count("*").alias("tf"))
+    n_docs = df.count()
+    dfreq = tf.groupBy("tok").agg(F.countDistinct("id").alias("df"))
+    return (
+        tf.join(dfreq, "tok")
+        .select(
+            "tok", "id",
+            (F.col("tf") * (F.log(F.lit(float(n_docs + 1))
+                                  / (F.col("df") + 1)) + 1.0)).alias("weight"),
+        )
+    )
+
+
+def fulltext_topk(index: DataFrame, query: str, k: int) -> DataFrame:
+    """Score = sum of index weights over query terms (plain-text query
+    only, like the reference CLI — cli.py:309-315). The per-term join
+    is a broadcast of the tiny query-term list."""
+    terms = sorted({t for t in
+                    query.lower().replace(",", " ").split() if t})
+    if not terms:
+        return index.sparkSession.createDataFrame([], "id string, score double")
+    spark = index.sparkSession
+    qdf = spark.createDataFrame([(t,) for t in terms], ["tok"])
+    return (
+        index.join(F.broadcast(qdf), "tok")
+        .groupBy("id")
+        .agg(F.sum("weight").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# RRF fusion (W1-W4)
+# ---------------------------------------------------------------------------
+
+def rank_leg(leg: DataFrame) -> DataFrame:
+    """W1 (search.py:178-198): rank 1..n by score desc, id tiebreak.
+    Per-query result sets are small — the single-partition window is
+    intentional (driver-side sort in the reference)."""
+    w = Window.orderBy(F.col("score").desc(), F.col("id"))
+    return leg.select("id", F.row_number().over(w).alias("rank"))
+
+
+def rrf_fuse(vector_leg: DataFrame, fulltext_leg: DataFrame,
+             k: int = RRF_K, vector_weight: float = 1.0,
+             fulltext_weight: float = 1.0) -> DataFrame:
+    """W2 (search.py:154-212): full-outer join on id; a doc missing
+    from one leg gets only the other leg's term (tested weight extremes
+    match reference tests/test_search.py:36-62)."""
+    v = rank_leg(vector_leg).withColumnRenamed("rank", "rank_v")
+    f_ = rank_leg(fulltext_leg).withColumnRenamed("rank", "rank_f")
+    fused = v.join(f_, "id", "full_outer").select(
+        "id",
+        (
+            F.coalesce(F.lit(vector_weight) / (F.lit(k) + F.col("rank_v")),
+                       F.lit(0.0))
+            + F.coalesce(F.lit(fulltext_weight) / (F.lit(k) + F.col("rank_f")),
+                         F.lit(0.0))
+        ).alias("score"),
+    )
+    return fused.orderBy(F.col("score").desc(), F.col("id"))
+
+
+# ---------------------------------------------------------------------------
+# Hydration (J5) + the full hybrid search
+# ---------------------------------------------------------------------------
+
+def hydrate_works(result_ids: DataFrame, nodes: dict[str, DataFrame],
+                  edges: DataFrame) -> DataFrame:
+    """J5 (search.py:235-266): authors / institutions (2-hop via
+    AUTHORED x AFFILIATED_WITH) / topics / source per work, each as a
+    sorted collect_set (determinism — SURVEY §2.5 A6)."""
+    e = edges
+    authored = e.filter(F.col("pred") == "AUTHORED").select(
+        F.col("subj").alias("author_id"), F.col("obj").alias("work_id"))
+    author_names = nodes["Author"].select(
+        F.col("id").alias("author_id"), F.col("display_name"))
+    w_authors = (
+        result_ids.join(authored, result_ids["id"] == authored["work_id"])
+        .join(author_names, "author_id")
+        .groupBy(result_ids["id"].alias("id"))
+        .agg(F.array_sort(F.collect_set("display_name")).alias("authors"))
+    )
+    affil = e.filter(F.col("pred") == "AFFILIATED_WITH").select(
+        F.col("subj").alias("author_id"), F.col("obj").alias("inst_id"))
+    inst_names = nodes["Institution"].select(
+        F.col("id").alias("inst_id"), F.col("display_name"))
+    w_insts = (
+        result_ids.join(authored, result_ids["id"] == authored["work_id"])
+        .join(affil, "author_id")
+        .join(inst_names, "inst_id")
+        .groupBy(result_ids["id"].alias("id"))
+        .agg(F.array_sort(F.collect_set("display_name")).alias("institutions"))
+    )
+    topics = e.filter(F.col("pred") == "HAS_TOPIC").select(
+        F.col("subj").alias("work_id"), F.col("obj").alias("topic_id"))
+    topic_names = nodes["Topic"].select(
+        F.col("id").alias("topic_id"), F.col("display_name"))
+    w_topics = (
+        result_ids.join(topics, result_ids["id"] == topics["work_id"])
+        .join(topic_names, "topic_id")
+        .groupBy(result_ids["id"].alias("id"))
+        .agg(F.array_sort(F.collect_set("display_name")).alias("topics"))
+    )
+    pub_in = e.filter(F.col("pred") == "PUBLISHED_IN").select(
+        F.col("subj").alias("work_id"), F.col("obj").alias("source_id"))
+    source_names = nodes["Source"].select(
+        F.col("id").alias("source_id"), F.col("display_name"))
+    w_source = (
+        result_ids.join(pub_in, result_ids["id"] == pub_in["work_id"])
+        .join(source_names, "source_id")
+        .groupBy(result_ids["id"].alias("id"))
+        .agg(F.min("display_name").alias("source"))
+    )
+    works = nodes["Work"].select("id", "title", "publication_year", "doi")
+    return (
+        result_ids.join(works, "id", "left")
+        .join(w_authors, "id", "left")
+        .join(w_insts, "id", "left")
+        .join(w_topics, "id", "left")
+        .join(w_source, "id", "left")
+    )
+
+
+def hybrid_search(query: str, nodes: dict[str, DataFrame], edges: DataFrame,
+                  limit: int = 10, rrf_k: int = RRF_K,
+                  vector_weight: float = 1.0,
+                  fulltext_weight: float = 1.0) -> DataFrame:
+    """Full reference-search-parity flow (search.py:43-84)."""
+    works = work_embedding_text(nodes["Work"])
+    embedded = embed_text_column(works, "_embed_text")
+    qvec = _hash_embed_one(query)
+    vec_leg = vector_topk(embedded, qvec, limit * OVERFETCH)
+    index = build_fulltext_index(
+        works.withColumn(
+            "_ft_text",
+            F.concat_ws(" ", F.col("title"), F.coalesce("abstract", F.lit(""))),
+        ),
+        "id", "_ft_text",
+    )
+    ft_leg = fulltext_topk(index, query, limit * OVERFETCH)
+    fused = rrf_fuse(vec_leg, ft_leg, k=rrf_k,
+                     vector_weight=vector_weight,
+                     fulltext_weight=fulltext_weight).limit(limit)
+    hydrated = hydrate_works(fused.select("id", "score"), nodes, edges)
+    # W5 (search.py:287): re-sort after hydration
+    return hydrated.orderBy(F.col("score").desc(), F.col("id"))

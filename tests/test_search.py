@@ -1,0 +1,128 @@
+"""Search-surface tests — ports the reference's RRF properties
+(tests/test_search.py:12-70) plus vector/fulltext leg checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openalex_neo4j_spark.search import (
+    EMBED_DIM,
+    _hash_embed_one,
+    build_fulltext_index,
+    fulltext_topk,
+    hybrid_search,
+    rrf_fuse,
+    vector_topk,
+)
+
+
+def _leg(spark, scores: dict[str, float]):
+    return spark.createDataFrame(
+        [(k, float(v)) for k, v in scores.items()], ["id", "score"]
+    )
+
+
+class TestRRF:
+    # fixtures ported from reference tests/test_search.py:12-70
+    def test_union_of_keyspaces(self, spark):
+        v = _leg(spark, {"A": 0.9, "B": 0.8, "C": 0.7})
+        f = _leg(spark, {"B": 5.0, "C": 4.0, "D": 3.0})
+        fused = rrf_fuse(v, f).collect()
+        assert {r["id"] for r in fused} == {"A", "B", "C", "D"}
+        top2 = [r["id"] for r in fused[:2]]
+        assert set(top2) == {"B", "C"}
+
+    def test_weight_extremes_vector_only(self, spark):
+        v = _leg(spark, {"A": 0.9, "B": 0.8})
+        f = _leg(spark, {"B": 5.0, "C": 4.0})
+        fused = rrf_fuse(v, f, vector_weight=1.0, fulltext_weight=0.0).collect()
+        assert fused[0]["id"] == "A"
+        ids = {r["id"]: r["score"] for r in fused}
+        assert ids["C"] == 0.0
+
+    def test_weight_extremes_fulltext_only(self, spark):
+        v = _leg(spark, {"A": 0.9, "B": 0.8})
+        f = _leg(spark, {"B": 5.0, "C": 4.0})
+        fused = rrf_fuse(v, f, vector_weight=0.0, fulltext_weight=1.0).collect()
+        assert fused[0]["id"] == "B"
+
+    def test_empty_inputs(self, spark):
+        empty = spark.createDataFrame([], "id string, score double")
+        assert rrf_fuse(empty, empty).count() == 0
+
+    def test_rrf_formula(self, spark):
+        # score(d) = 1/(60+rank_v) + 1/(60+rank_f) — search.py:193-198
+        v = _leg(spark, {"A": 1.0})
+        f = _leg(spark, {"A": 1.0})
+        got = rrf_fuse(v, f).collect()[0]["score"]
+        assert abs(got - 2.0 / 61.0) < 1e-12
+
+
+class TestEmbedding:
+    def test_dim_contract(self):
+        # 384-dim contract: reference neo4j_client.py:199-203
+        assert len(_hash_embed_one("hello world")) == EMBED_DIM
+
+    def test_unit_norm_and_deterministic(self):
+        a = _hash_embed_one("graph neural network")
+        b = _hash_embed_one("graph neural network")
+        assert a == b
+        assert abs(sum(x * x for x in a) - 1.0) < 1e-6
+
+    def test_empty_text(self):
+        assert sum(abs(x) for x in _hash_embed_one(None)) == 0.0
+
+
+class TestVectorLeg:
+    def test_exact_topk_selfmatch(self, spark):
+        rows = [
+            ("a", [1.0, 0.0, 0.0]),
+            ("b", [0.9, 0.1, 0.0]),
+            ("c", [0.0, 1.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, ["id", "embedding"])
+        got = vector_topk(df, [1.0, 0.0, 0.0], 2).collect()
+        assert [r["id"] for r in got] == ["a", "b"]
+        assert abs(got[0]["score"] - 1.0) < 1e-9
+
+
+class TestFulltextLeg:
+    def test_tfidf_ranking(self, spark):
+        docs = spark.createDataFrame(
+            [
+                ("d1", "spark shuffle join spark spark"),
+                ("d2", "spark filter"),
+                ("d3", "pandas numpy"),
+            ],
+            ["id", "text"],
+        )
+        idx = build_fulltext_index(docs)
+        got = fulltext_topk(idx, "spark", 10).collect()
+        assert [r["id"] for r in got][:2] == ["d1", "d2"]
+        assert {r["id"] for r in got} == {"d1", "d2"}
+
+    def test_empty_query(self, spark):
+        docs = spark.createDataFrame([("d1", "x")], ["id", "text"])
+        idx = build_fulltext_index(docs)
+        assert fulltext_topk(idx, "", 5).count() == 0
+
+
+class TestHybridSearch:
+    def test_end_to_end(self, spark, small_world, small_graph):
+        # query = title + abstract prefix of a known work: must surface
+        # it among the fused top-5 (titles are word-salad from a small
+        # vocabulary, so exact top-1 is not guaranteed by design)
+        w = next(w for w in small_world.works.values() if w.has_canonical)
+        res = hybrid_search(w.title + " " + w.abstract[:120],
+                            small_graph.nodes, small_graph.edges, limit=5)
+        rows = res.collect()
+        assert 0 < len(rows) <= 5
+        from openalex_neo4j_spark import ids
+        ids_returned = [r["id"] for r in rows]
+        assert ids.work_id(w.doi) in ids_returned
+        hit = rows[ids_returned.index(ids.work_id(w.doi))]
+        assert hit["title"] == w.title
+        # hydration brings author names
+        assert hit["authors"], "hydration returned no authors"
+        # re-sorted by fused score (W5)
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
