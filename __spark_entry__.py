@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship hybrid-retrieval query (the reference's
+``search`` surface re-expressed: two ranked legs fused with RRF —
+search.py:43-84) over /root/testdata/sf0.001.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2 plus the training-data operator family; oracles are
+DuckDB SQL over the same parquet views. KG-pipeline queries
+(kg_triples, kg_hybrid_search) are non-SQL-expressible and carry no
+oracle (rows-only check).
 """
 
 from __future__ import annotations
@@ -15,24 +19,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: RRF hybrid fusion over documents (vector-leg analog
+    ranked by content stats; fulltext leg by token diversity), then
+    hydrated with document metadata — the reference's hybrid search
+    shape (W1-W5) on the sf0.001 tables."""
+    from openalex_neo4j_spark.driver_contract import q_rrf_fusion
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    fused = q_rrf_fusion(spark, sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        fused.join(docs.select("doc_id", "lang", "source", "n_chars"),
+                   "doc_id", "left")
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(20)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from openalex_neo4j_spark.driver_contract import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from openalex_neo4j_spark.driver_contract import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

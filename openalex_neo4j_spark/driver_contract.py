@@ -1,0 +1,706 @@
+"""Driver-contract queries: every SURVEY §2 operator as a named
+(spark_callable, duckdb_oracle_sql) pair over the testdata tables.
+
+Cross-engine determinism rules used throughout (so the driver's
+order-insensitive value-hash matches):
+- every computed column aliased identically on both sides;
+- float results come from scalar expressions over integer counts, or
+  explicit double-cast sequential folds, optionally ROUND()ed;
+- no float SUM aggregations (partial-agg order would differ);
+- all top-k queries carry full deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from openalex_neo4j_spark.operators.text import LANG_STOPWORDS
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational operator parity (SURVEY §2: S/P/F/J/A/W ops) on TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def q_customers_with_orders(spark, sf):
+    """J2/S2 semi-join (importer.py:241-246; openalex_client batched
+    ID lookup re-expressed)."""
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return c.join(o.select(F.col("o_custkey").alias("c_custkey")),
+                  "c_custkey", "left_semi").select("c_custkey")
+
+
+def q_customers_without_orders(spark, sf):
+    """J1 anti-join — the BFS frontier step (importer.py:126-131)."""
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return c.join(o.select(F.col("o_custkey").alias("c_custkey")),
+                  "c_custkey", "left_anti").select("c_custkey")
+
+
+def q_token_explode(spark, sf):
+    """J3 explode + count (importer.py:238-247 array un-nesting)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_group_cross_product(spark, sf):
+    """J4 per-group cross product + pair dedup — the AFFILIATED_WITH
+    quirk shape (importer.py:253-273)."""
+    li = _t(spark, sf, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+    return a.join(b, "ok").select("pk", "sk").distinct()
+
+
+def q_order_parts_agg(spark, sf):
+    """J5/A6 collect(DISTINCT) per group, sorted for determinism
+    (search.py:240-249)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set(F.col("l_partkey").cast("string")))
+        ).alias("parts")
+    )
+
+
+def q_first_order_per_customer(spark, sf):
+    """A1 deterministic first-wins dedup (importer.py:100-104)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+def q_orders_by_status(spark, sf):
+    """A5/A7 count-by-key report (neo4j_client.py:322-348)."""
+    return (_t(spark, sf, "orders")
+            .groupBy("o_orderstatus").agg(F.count("*").alias("cnt")))
+
+
+def q_distinct_union(spark, sf):
+    """A4 set-union collect (importer.py:108-123)."""
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    return o.unionByName(c).distinct()
+
+
+def q_top_orders(spark, sf):
+    """W3 top-k (search.py:79; TakeOrderedAndProject)."""
+    return (_t(spark, sf, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(10))
+
+
+def q_rank_orders(spark, sf):
+    """W1 per-group ranking (search.py:178-198)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+def q_rrf_fusion(spark, sf):
+    """W2 RRF (search.py:154-212): legs ranked by two integer metrics,
+    k=60, full-outer fusion."""
+    d = _t(spark, sf, "documents")
+    w1 = Window.orderBy(F.col("n_chars").desc(), "doc_id")
+    leg1 = (d.select("doc_id", F.row_number().over(w1).alias("rv"))
+            .filter(F.col("rv") <= 20))
+    ntok = d.select(
+        "doc_id",
+        F.size(F.array_distinct(
+            F.filter(F.split("text", " "), lambda t: t != ""))).alias("nd"),
+    )
+    w2 = Window.orderBy(F.col("nd").desc(), "doc_id")
+    leg2 = (ntok.select("doc_id", F.row_number().over(w2).alias("rf"))
+            .filter(F.col("rf") <= 20))
+    fused = leg1.join(leg2, "doc_id", "full_outer").select(
+        "doc_id",
+        (F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rv")), F.lit(0.0))
+         + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rf")), F.lit(0.0))
+         ).alias("rrf_score"),
+    )
+    return fused
+
+
+def q_filter_orders(spark, sf):
+    """F4/D4 predicate + projection with pushdown."""
+    o = _t(spark, sf, "orders")
+    return o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-06-01"))
+        & (F.col("o_orderstatus") == "F")
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def q_point_lookup(spark, sf):
+    """S6 point lookup (neo4j_client.py:360-376)."""
+    return _t(spark, sf, "customer").filter(F.col("c_custkey") == 42)
+
+
+def q_camel_priority(spark, sf):
+    """P8 camel-case label derivation (neo4j_client.py:11-31)."""
+    o = _t(spark, sf, "orders")
+    # str.capitalize() semantics (NOT initcap: only the first char of
+    # the whole part is upcased — '4-NOT SPECIFIED' -> '4Not specified')
+    camel = F.concat_ws(
+        "",
+        F.transform(
+            F.split(F.lower("o_orderpriority"), "-"),
+            lambda p: F.concat(F.upper(p.substr(F.lit(1), F.lit(1))),
+                               p.substr(F.lit(2), F.length(p))),
+        ),
+    )
+    return o.select("o_orderpriority").distinct().select(
+        "o_orderpriority", camel.alias("camel"))
+
+
+def q_reconstruct_text(spark, sf):
+    """P7 positional reconstruction (models.py:114-122): explode with
+    position, reassemble ordered — byte-identical round trip."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+    return toks.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("reconstructed")
+    )
+
+
+def q_extract_id(spark, sf):
+    """P1 id normalization (models.py:7-20) over synthesized urls."""
+    c = _t(spark, sf, "customer")
+    url = F.concat(F.lit("https://openalex.org/C"),
+                   F.col("c_custkey").cast("string"))
+    return c.select(
+        url.alias("url"),
+        F.regexp_extract(url, r"([^/]+)$", 1).alias("norm_id"),
+    )
+
+
+def q_region_customer_counts(spark, sf):
+    """2-hop join chain (README.md:349-352 query surface analog)."""
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    return (
+        r.join(n, r["r_regionkey"] == n["n_regionkey"])
+        .join(c, n["n_nationkey"] == c["c_nationkey"])
+        .groupBy("r_name")
+        .agg(F.count("*").alias("customers"))
+    )
+
+
+def q_cosupplier_pairs(spark, sf):
+    """Self-join collaborator analog (README.md:342-346)."""
+    li = _t(spark, sf, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    pairs = (
+        a.join(b, "ok").filter(F.col("sa") < F.col("sb"))
+        .select("ok", "sa", "sb").distinct()
+    )
+    return (
+        pairs.groupBy("sa", "sb").agg(F.count("*").alias("shared_orders"))
+        .orderBy(F.col("shared_orders").desc(), "sa", "sb").limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators on documents/embeddings
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf):
+    from openalex_neo4j_spark.operators.dedup import exact_dedup
+    return exact_dedup(_t(spark, sf, "documents")).select(
+        "digest", F.col("doc_id").alias("keep_id"), "dup_count")
+
+
+def q_minhash_sigs(spark, sf):
+    from openalex_neo4j_spark.operators.dedup import minhash_signatures
+    return minhash_signatures(
+        _t(spark, sf, "documents"), num_hashes=4
+    ).select(F.col("id").alias("doc_id"), "seed", "minh")
+
+
+def q_simhash(spark, sf):
+    from openalex_neo4j_spark.operators.dedup import simhash_signatures
+    return simhash_signatures(_t(spark, sf, "documents")).select(
+        F.col("id").alias("doc_id"), "simhash")
+
+
+def q_ngram_jaccard(spark, sf):
+    from openalex_neo4j_spark.operators.dedup import (_token_shingles,
+                                                      shingle_jaccard)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    sh = _token_shingles(d, "doc_id", "text")
+    pairs = (
+        sh.alias("x")
+        .join(sh.alias("y"),
+              (F.col("x.shingle") == F.col("y.shingle"))
+              & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    j = shingle_jaccard(d, pairs)
+    return j.orderBy(F.col("jaccard").desc(), "a", "b").limit(20)
+
+
+def q_embedding_topk(spark, sf):
+    """Brute-force cosine top-10 vs vec_id 0, explicit double folds."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"))
+    b = e.filter(F.col("vec_id") != 0)
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    dot = F.aggregate(F.zip_with(dbl(F.col("embedding")), dbl(F.col("qe")),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(dbl(F.col("embedding")), F.lit(0.0),
+                            lambda acc, x: acc + x * x))
+    nq = F.sqrt(F.aggregate(dbl(F.col("qe")), F.lit(0.0),
+                            lambda acc, x: acc + x * x))
+    return (
+        b.crossJoin(F.broadcast(q))
+        .select("vec_id",
+                F.floor(dot / (na * nq) * 1000000).cast("long").alias("score_micros"))
+        .orderBy(F.col("score_micros").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def q_srp_buckets(spark, sf):
+    """SRP-LSH bucket histogram; 4 anchor planes = vec_id 1..4
+    (deterministic anchors — the ANN blocking path)."""
+    e = _t(spark, sf, "embeddings")
+    anchors = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id").isin(1, 2, 3, 4))
+        .orderBy("vec_id").collect()
+    ]
+    from openalex_neo4j_spark.operators.similarity import _dot_expr
+    b = F.lit(0).cast("long")
+    for i, a in enumerate(anchors):
+        dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        b = b + F.when(_dot_expr(dbl, a) > 0,
+                       F.lit(2 ** i).cast("long")).otherwise(F.lit(0))
+    return e.select(b.alias("bucket")).groupBy("bucket").agg(
+        F.count("*").alias("n"))
+
+
+def q_lang_id(spark, sf):
+    from openalex_neo4j_spark.operators.text import lang_id
+    return lang_id(_t(spark, sf, "documents"))
+
+
+def q_token_stats(spark, sf):
+    from openalex_neo4j_spark.operators.text import token_count
+    return token_count(_t(spark, sf, "documents"))
+
+
+def q_quality(spark, sf):
+    from openalex_neo4j_spark.operators.text import quality_score
+    return quality_score(_t(spark, sf, "documents")).select(
+        "doc_id",
+        F.floor(F.col("quality") * 1000000).cast("long").alias("quality_micros"),
+    )
+
+
+def q_fingerprint(spark, sf):
+    from openalex_neo4j_spark.operators.text import fingerprint
+    return fingerprint(_t(spark, sf, "documents"))
+
+
+def q_binary_meta(spark, sf):
+    """Multimodal metadata path: opaque bytes -> byte_len + digest
+    (JVM-side only; decode stays in operators/multimodal.py)."""
+    d = _t(spark, sf, "documents")
+    payload = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("byte_len"),
+        F.md5(F.col("text")).alias("digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events (window/json/sessionization surface)
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+
+
+def q_events_json(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def q_user_event_seq(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", F.row_number().over(w).cast("long").alias("seq"))
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (non-SQL-expressible -> rows-only driver check)
+# ---------------------------------------------------------------------------
+
+def kg_triples(spark, sf):
+    from openalex_neo4j_spark.corpus import build_world, pages_dataframe
+    from openalex_neo4j_spark.pipeline import build_graph
+    world = build_world(150, seed=42)
+    return build_graph(pages_dataframe(spark, world)).triples
+
+
+def kg_hybrid_search(spark, sf):
+    from openalex_neo4j_spark.corpus import build_world, pages_dataframe
+    from openalex_neo4j_spark.pipeline import build_graph
+    from openalex_neo4j_spark.search import hybrid_search
+    world = build_world(100, seed=42)
+    g = build_graph(pages_dataframe(spark, world))
+    w = next(w for w in world.works.values() if w.has_canonical)
+    return hybrid_search(w.title, g.nodes, g.edges, limit=5).select(
+        "id", "score", "title")
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB) — mirrors each query exactly
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+      generate_series(1, greatest(len(arr)-2, 1)),
+      i -> array_to_string(arr[i:i+2], ' ')))) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents{flt})
+"""
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(LANG_STOPWORDS)
+    cnt = {
+        lang: (
+            "len(list_filter(arr, t -> list_contains(["
+            + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+            + "], t)))"
+        )
+        for lang in langs
+    }
+    # replicate the Spark fold: base = first lang, later langs win only
+    # on strictly greater counts
+    best_lang = f"'{langs[0]}'"
+    best_score = cnt[langs[0]]
+    for lang in langs[1:]:
+        best_lang = (
+            f"CASE WHEN {cnt[lang]} > {best_score} THEN '{lang}' "
+            f"ELSE {best_lang} END"
+        )
+        best_score = (
+            f"CASE WHEN {cnt[lang]} > {best_score} THEN {cnt[lang]} "
+            f"ELSE {best_score} END"
+        )
+    return f"""
+WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS arr FROM documents)
+SELECT doc_id,
+       CASE WHEN {best_score} > 0 THEN {best_lang} ELSE 'und' END AS pred_lang,
+       CAST({best_score} AS INT) AS stopword_hits
+FROM t
+"""
+
+
+ORACLE_SQL: dict[str, str] = {
+    "q_customers_with_orders": """
+SELECT c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    "q_customers_without_orders": """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    "q_token_explode": """
+SELECT doc_id, tok, COUNT(*) AS cnt
+FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+WHERE tok <> '' GROUP BY doc_id, tok
+""",
+    "q_group_cross_product": """
+SELECT DISTINCT a.l_partkey AS pk, b.l_suppkey AS sk
+FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+""",
+    "q_order_parts_agg": """
+SELECT l_orderkey,
+       array_to_string(list_sort(list_distinct(list(CAST(l_partkey AS VARCHAR)))), ',') AS parts
+FROM lineitem GROUP BY l_orderkey
+""",
+    "q_first_order_per_customer": """
+SELECT o_custkey, o_orderkey, o_orderdate FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS rn FROM orders)
+WHERE rn = 1
+""",
+    "q_orders_by_status": """
+SELECT o_orderstatus, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus
+""",
+    "q_distinct_union": """
+SELECT DISTINCT k FROM (
+  SELECT o_custkey AS k FROM orders
+  UNION ALL SELECT c_custkey AS k FROM customer)
+""",
+    "q_top_orders": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+    "q_rank_orders": """
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (
+    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders)
+WHERE rnk <= 3
+""",
+    "q_rrf_fusion": """
+WITH leg1 AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rv
+  FROM documents QUALIFY rv <= 20),
+leg2 AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY nd DESC, doc_id) AS rf
+  FROM (SELECT doc_id,
+        len(list_distinct(list_filter(string_split(text,' '), x -> x <> ''))) AS nd
+        FROM documents) QUALIFY rf <= 20)
+SELECT COALESCE(leg1.doc_id, leg2.doc_id) AS doc_id,
+       COALESCE(1.0/(60+rv), 0) + COALESCE(1.0/(60+rf), 0) AS rrf_score
+FROM leg1 FULL OUTER JOIN leg2 ON leg1.doc_id = leg2.doc_id
+""",
+    "q_filter_orders": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-06-01' AND o_orderstatus = 'F'
+""",
+    "q_point_lookup": """
+SELECT * FROM customer WHERE c_custkey = 42
+""",
+    "q_camel_priority": """
+SELECT o_orderpriority,
+       array_to_string(list_transform(string_split(lower(o_orderpriority), '-'),
+           p -> upper(p[1]) || p[2:]), '') AS camel
+FROM (SELECT DISTINCT o_orderpriority FROM orders)
+""",
+    "q_reconstruct_text": """
+SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS reconstructed
+FROM (
+  SELECT doc_id, i - 1 AS pos, arr[i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+       UNNEST(generate_series(1, len(arr))) AS u(i))
+GROUP BY doc_id
+""",
+    "q_extract_id": """
+SELECT 'https://openalex.org/C' || CAST(c_custkey AS VARCHAR) AS url,
+       regexp_extract('https://openalex.org/C' || CAST(c_custkey AS VARCHAR),
+                      '([^/]+)$', 1) AS norm_id
+FROM customer
+""",
+    "q_region_customer_counts": """
+SELECT r_name, COUNT(*) AS customers
+FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+JOIN customer c ON n.n_nationkey = c.c_nationkey
+GROUP BY r_name
+""",
+    "q_cosupplier_pairs": """
+SELECT sa, sb, COUNT(*) AS shared_orders FROM (
+  SELECT DISTINCT a.l_orderkey, a.l_suppkey AS sa, b.l_suppkey AS sb
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey)
+GROUP BY sa, sb ORDER BY shared_orders DESC, sa, sb LIMIT 10
+""",
+    "q_exact_dedup": """
+SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY md5(text)
+""",
+    "q_minhash_sigs": f"""
+WITH sh AS ({_SHINGLES_CTE.format(flt="")}),
+seeds AS (SELECT UNNEST(generate_series(0, 3)) AS seed)
+SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minh
+FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+""",
+    "q_simhash": """
+WITH h AS (
+  SELECT doc_id, substr(md5(tok), 1, 4) AS hx
+  FROM (SELECT doc_id, UNNEST(string_split(text,' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+pos AS (SELECT doc_id, hx, UNNEST(generate_series(0, 15)) AS b FROM h),
+bits AS (
+  SELECT doc_id, b,
+    CASE WHEN ((strpos('0123456789abcdef',
+                substr(hx, (b // 4) + 1, 1)) - 1)
+               >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END AS c
+  FROM pos),
+s AS (SELECT doc_id, b, SUM(c) AS s FROM bits GROUP BY doc_id, b)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM s GROUP BY doc_id
+""",
+    "q_ngram_jaccard": f"""
+WITH sh AS ({_SHINGLES_CTE.format(flt=" WHERE doc_id < 200")}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id)
+SELECT a, b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+JOIN sizes sb ON inter.b = sb.doc_id
+ORDER BY jaccard DESC, a, b LIMIT 20
+""",
+    "q_embedding_topk": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, CAST(floor(
+  list_sum(list_transform(generate_series(1, len(embedding)),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(embedding,
+       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(qe,
+       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 1000000) AS BIGINT)
+  AS score_micros
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY score_micros DESC, vec_id LIMIT 10
+""",
+    "q_srp_buckets": """
+WITH p AS (
+  SELECT MAX(CASE WHEN vec_id = 1 THEN embedding END) AS p1,
+         MAX(CASE WHEN vec_id = 2 THEN embedding END) AS p2,
+         MAX(CASE WHEN vec_id = 3 THEN embedding END) AS p3,
+         MAX(CASE WHEN vec_id = 4 THEN embedding END) AS p4
+  FROM embeddings WHERE vec_id IN (1, 2, 3, 4))
+SELECT bucket, COUNT(*) AS n FROM (
+  SELECT
+    (CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(p1[i] AS DOUBLE))) > 0
+        THEN 1 ELSE 0 END)
+  + (CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(p2[i] AS DOUBLE))) > 0
+        THEN 2 ELSE 0 END)
+  + (CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(p3[i] AS DOUBLE))) > 0
+        THEN 4 ELSE 0 END)
+  + (CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(p4[i] AS DOUBLE))) > 0
+        THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings, p)
+GROUP BY bucket
+""",
+    "q_lang_id": _lang_id_sql(),
+    "q_token_stats": """
+SELECT doc_id,
+  len(list_filter(string_split(text,' '), t -> t <> '')) AS n_tokens,
+  CAST(list_sum(list_transform(list_filter(string_split(text,' '), t -> t <> ''),
+       t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+FROM documents
+""",
+    "q_quality": """
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE) AS n,
+    CAST(len(list_distinct(list_filter(string_split(text,' '), x -> x <> ''))) AS DOUBLE) AS nd,
+    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS chars
+  FROM documents)
+SELECT doc_id, CAST(floor((
+    0.4 * least(1.0, n / 50.0)
+  + 0.3 * (CASE WHEN n > 0 THEN nd / n ELSE 0.0 END)
+  + 0.3 * least(1.0, CASE WHEN n > 0 THEN chars / n / 8.0 ELSE 0.0 END)
+  ) * 1000000) AS BIGINT) AS quality_micros
+FROM t
+""",
+    "q_fingerprint": """
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(
+      list_filter(string_split(text,' '), t -> t <> ''))), ' ')) AS fingerprint
+FROM documents
+""",
+    "q_binary_meta": """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS digest
+FROM documents
+""",
+    "q_events_hourly": """
+SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY date_trunc('hour', ts), event_type
+""",
+    "q_events_json": """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+""",
+    "q_user_event_seq": """
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+FROM events
+""",
+}
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_customers_with_orders": q_customers_with_orders,
+    "q_customers_without_orders": q_customers_without_orders,
+    "q_token_explode": q_token_explode,
+    "q_group_cross_product": q_group_cross_product,
+    "q_order_parts_agg": q_order_parts_agg,
+    "q_first_order_per_customer": q_first_order_per_customer,
+    "q_orders_by_status": q_orders_by_status,
+    "q_distinct_union": q_distinct_union,
+    "q_top_orders": q_top_orders,
+    "q_rank_orders": q_rank_orders,
+    "q_rrf_fusion": q_rrf_fusion,
+    "q_filter_orders": q_filter_orders,
+    "q_point_lookup": q_point_lookup,
+    "q_camel_priority": q_camel_priority,
+    "q_reconstruct_text": q_reconstruct_text,
+    "q_extract_id": q_extract_id,
+    "q_region_customer_counts": q_region_customer_counts,
+    "q_cosupplier_pairs": q_cosupplier_pairs,
+    "q_exact_dedup": q_exact_dedup,
+    "q_minhash_sigs": q_minhash_sigs,
+    "q_simhash": q_simhash,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_embedding_topk": q_embedding_topk,
+    "q_srp_buckets": q_srp_buckets,
+    "q_lang_id": q_lang_id,
+    "q_token_stats": q_token_stats,
+    "q_quality": q_quality,
+    "q_fingerprint": q_fingerprint,
+    "q_binary_meta": q_binary_meta,
+    "q_events_hourly": q_events_hourly,
+    "q_events_json": q_events_json,
+    "q_user_event_seq": q_user_event_seq,
+    # non-SQL-expressible (rows-only driver check)
+    "kg_triples": kg_triples,
+    "kg_hybrid_search": kg_hybrid_search,
+}

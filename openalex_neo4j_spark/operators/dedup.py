@@ -1,0 +1,208 @@
+"""Deduplication operator family for large-scale training-data pipelines.
+
+Five strategies over a document table ``(doc_id, text, ...)``:
+
+- :func:`exact_dedup` — hash-groupBy on md5(text) (one shuffle on the
+  digest; map-side partial agg).
+- :func:`first_wins_dedup` — deterministic winner per key via an
+  ordered window (the determinism-hardened analog of the reference's
+  dict first-insert-wins — importer.py:100-104, SURVEY §2.5 A1).
+- :func:`minhash_dedup` — shingle -> MinHash -> LSH band-bucket join
+  -> verified Jaccard -> connected components -> keep min doc per
+  cluster. The scale path: candidates only form inside band buckets.
+- :func:`simhash_signatures` — 16-bit SimHash from md5 nibbles
+  (cross-engine-stable: the same SQL works in DuckDB for the oracle).
+- :func:`ngram_jaccard_pairs` — exact token-shingle Jaccard for
+  candidate pairs via an inverted-index self-join.
+
+All hashing is md5-based so every signature is reproducible across
+Spark, DuckDB, and plain Python (resume + oracle determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from openalex_neo4j_spark.operators.cc import connected_components
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each exact-text group."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+    )
+
+
+def first_wins_dedup(df: DataFrame, key_cols: list[str],
+                     order_cols: list[str]) -> DataFrame:
+    """Deterministic first-wins: one row per key, ordered winner."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _token_shingles(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 3) -> DataFrame:
+    """(id, shingle) distinct word-k-shingles via posexplode + window-free
+    slicing (pure SQL; same semantics as textnorm.shingles)."""
+    arr = F.split(F.col(text_col), " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(arr) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, k)),
+        )
+    )
+    return df.select(F.col(id_col).alias("id"),
+                     F.explode(sh).alias("shingle")).distinct()
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 16,
+                       k: int = 3) -> DataFrame:
+    """(id, seed, minh): minh = min(md5('{seed}|{shingle}')) as a hex
+    string — lexicographic min is engine-stable (Spark/DuckDB/Python)."""
+    sh = _token_shingles(df, id_col, text_col, k)
+    seeded = sh.select(
+        "id", "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+    ).select(
+        "id", "seed",
+        F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))).alias("h"),
+    )
+    return seeded.groupBy("id", "seed").agg(F.min("h").alias("minh"))
+
+
+def minhash_bands(sigs: DataFrame, band_size: int = 2) -> DataFrame:
+    """(id, band, band_key): group the signature into LSH bands."""
+    return (
+        sigs.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minh"))),
+                    lambda s: s["minh"],
+                ),
+                "|",
+            ).alias("band_key")
+        )
+    )
+
+
+def minhash_candidates(bands: DataFrame) -> DataFrame:
+    """(a, b) candidate pairs sharing any band bucket, a < b."""
+    return (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+
+
+def shingle_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3) -> DataFrame:
+    """Exact Jaccard over word-k-shingle sets for given (a, b) pairs.
+
+    inter via inverted-index join on shingle; union = |A|+|B|-inter.
+    Integer counts only -> the final double division is deterministic.
+    """
+    sh = _token_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sa = sh.withColumnRenamed("id", "a")
+    sb = sh.withColumnRenamed("id", "b")
+    inter = (
+        pairs.join(sa, "a").join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes.withColumnRenamed("id", "a")
+                   .withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b")
+                   .withColumnRenamed("sz", "szb"), "b")
+        .select(
+            "a", "b",
+            (F.col("inter").cast("double")
+             / (F.col("sza") + F.col("szb") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", threshold: float = 0.7,
+                  num_hashes: int = 16, band_size: int = 2) -> DataFrame:
+    """Near-dup clustering: LSH candidates -> Jaccard verify ->
+    connected components -> (doc_id, cluster_rep)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    cand = minhash_candidates(minhash_bands(sigs, band_size))
+    verified = shingle_jaccard(df, cand, id_col, text_col).filter(
+        F.col("jaccard") >= threshold
+    )
+    if verified.isEmpty():
+        return df.select(F.col(id_col),
+                         F.col(id_col).alias("cluster_rep"))
+    comp = connected_components(
+        verified.select(F.col("a").cast("string").alias("src"),
+                        F.col("b").cast("string").alias("dst"))
+    )
+    ids = df.select(F.col(id_col))
+    joined = ids.join(
+        comp.select(F.col("node").alias("_sid"),
+                    F.col("component").alias("cluster_rep")),
+        ids[id_col].cast("string") == F.col("_sid"),
+        "left",
+    )
+    return joined.select(
+        F.col(id_col),
+        F.coalesce(F.col("cluster_rep"),
+                   F.col(id_col).cast("string")).alias("cluster_rep"),
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = 16) -> DataFrame:
+    """16-bit SimHash from md5 hex nibbles, pure SQL (engine-stable).
+
+    Token hash bits come from the first bits/4 hex chars of md5(tok);
+    bit b of the signature is 1 iff sum over tokens of (2*bit_b - 1)
+    is positive. Duplicate tokens count with multiplicity.
+    """
+    nhex = bits // 4
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = toks.select("id", F.substring(F.md5("tok"), 1, nhex).alias("hx"))
+    pos = h.select(
+        "id", "hx",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    )
+    nib = F.conv(
+        F.col("hx").substr((F.col("b") / 4).cast("int") + 1, F.lit(1)), 16, 10
+    ).cast("int")
+    bit = F.floor(nib / F.pow(F.lit(2), F.col("b") % 4)).cast("long") % 2
+    contrib = pos.select("id", "b", (bit * 2 - 1).alias("c"))
+    per_bit = contrib.groupBy("id", "b").agg(F.sum("c").alias("s"))
+    return (
+        per_bit.groupBy("id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0,
+                       F.pow(F.lit(2), F.col("b")).cast("long"))
+                .otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )

@@ -34,10 +34,16 @@ from openalex_neo4j_spark.linking import link_mentions
 
 def camel_label_expr(col):
     """SQL camel-case: 'journal-article' -> 'JournalArticle'
-    (neo4j_client.py:11-31; initcap(lower(p)) == str.capitalize for
-    space-free parts)."""
+    (neo4j_client.py:11-31). Exact str.capitalize() semantics per part:
+    first char upcased, rest lowercased — NOT initcap, which would
+    upcase every space-separated word inside a part."""
     return F.concat_ws(
-        "", F.transform(F.split(F.trim(col), "-"), lambda p: F.initcap(F.lower(p)))
+        "",
+        F.transform(
+            F.split(F.lower(F.trim(col)), "-"),
+            lambda p: F.concat(F.upper(p.substr(F.lit(1), F.lit(1))),
+                               p.substr(F.lit(2), F.length(p))),
+        ),
     )
 
 

@@ -1,0 +1,211 @@
+"""Operator-suite tests: dedup family, similarity, text analysis,
+skew handling, multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from openalex_neo4j_spark.operators.dedup import (
+    exact_dedup,
+    first_wins_dedup,
+    minhash_candidates,
+    minhash_bands,
+    minhash_dedup,
+    minhash_signatures,
+    shingle_jaccard,
+    simhash_signatures,
+)
+from openalex_neo4j_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    ivf_topk,
+    lsh_ann,
+    pairwise_cosine,
+)
+from openalex_neo4j_spark.operators.skew import (  # noqa: E402
+    salted_count,
+    salted_join,
+)
+from openalex_neo4j_spark.operators.text import (  # noqa: E402
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),          # near dup of 0
+        (3, "der hund ist nicht ein fisch und das ist gut"),
+        (4, "completely different tokens entirely unrelated words"),
+        (5, "le chat est un animal et la maison est grande"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestExactDedup:
+    def test_groups(self, docs):
+        got = {r["doc_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+        assert got[0] == 2          # 0 and 1 collapse, min id kept
+        assert 1 not in got
+        assert got[2] == 1
+
+
+class TestFirstWins:
+    def test_deterministic_winner(self, spark):
+        df = spark.createDataFrame(
+            [("k", "b", 2), ("k", "a", 1), ("j", "z", 9)],
+            ["key", "val", "ord"],
+        )
+        got = {r["key"]: r["val"]
+               for r in first_wins_dedup(df, ["key"], ["ord"]).collect()}
+        assert got == {"k": "a", "j": "z"}
+
+
+class TestMinHash:
+    def test_identical_docs_share_signature(self, docs):
+        sigs = minhash_signatures(docs).filter(F.col("id").isin(0, 1))
+        per_doc = (
+            sigs.groupBy("seed")
+            .agg(F.countDistinct("minh").alias("n"))
+            .collect()
+        )
+        assert all(r["n"] == 1 for r in per_doc)
+
+    def test_candidates_include_near_dup(self, docs):
+        cand = minhash_candidates(minhash_bands(minhash_signatures(docs)))
+        pairs = {(r["a"], r["b"]) for r in cand.collect()}
+        assert (0, 1) in pairs
+        assert (0, 2) in pairs or (1, 2) in pairs
+
+    def test_jaccard_exact_values(self, spark, docs):
+        pairs = spark.createDataFrame([(0, 1), (0, 4)], ["a", "b"])
+        got = {(r["a"], r["b"]): r["jaccard"]
+               for r in shingle_jaccard(docs, pairs).collect()}
+        assert got[(0, 1)] == 1.0
+        assert got[(0, 4)] == 0.0
+
+    def test_cluster_rep(self, docs):
+        got = {r["doc_id"]: r["cluster_rep"]
+               for r in minhash_dedup(docs, threshold=0.5).collect()}
+        assert got[0] == got[1] == "0"
+        assert got[4] == "4"
+
+
+class TestSimHash:
+    def test_identical_equal_similar_close(self, docs):
+        got = {r["id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+        assert got[0] == got[1]
+        d_near = bin(int(got[0]) ^ int(got[2])).count("1")
+        d_far = bin(int(got[0]) ^ int(got[4])).count("1")
+        assert d_near <= d_far
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0, 0.0]),
+            (4, [0.0, 0.0, 1.0, 0.0]),
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_bruteforce(self, vecs):
+        got = [r["vec_id"] for r in cosine_topk(vecs, [1.0, 0.0, 0.0, 0.0], 2).collect()]
+        assert got == [0, 1]
+
+    def test_lsh_bucket_filters_but_finds(self, vecs):
+        anchors = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+        got = [r["vec_id"] for r in
+               lsh_ann(vecs, [1.0, 0.05, 0.0, 0.0], 2, anchors).collect()]
+        assert got[0] in (0, 1)
+        assert 3 not in got  # opposite bucket excluded
+
+    def test_ivf(self, vecs):
+        cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+                 [0.0, 0.0, 1.0, 0.0]]
+        # query == vec 1 exactly (cosine 1.0), vec 0 second
+        got = [r["vec_id"] for r in
+               ivf_topk(vecs, [0.9, 0.1, 0.0, 0.0], 2, cents, nprobe=1).collect()]
+        assert got == [1, 0]
+
+    def test_pairwise_threshold(self, vecs):
+        got = {(r["a"], r["b"]) for r in pairwise_cosine(vecs, 0.95).collect()}
+        assert (0, 1) in got
+        assert (0, 2) not in got
+
+
+class TestText:
+    def test_token_count(self, docs):
+        got = {r["doc_id"]: (r["n_tokens"], r["n_subwords"])
+               for r in token_count(docs).collect()}
+        assert got[0][0] == 9
+        assert got[0][1] >= 9
+
+    def test_lang_id(self, docs):
+        got = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+        assert got[0] == "en"
+        assert got[3] == "de"
+        assert got[5] == "fr"
+        assert got[4] == "und"
+
+    def test_quality_bounds(self, docs):
+        for r in quality_score(docs).collect():
+            assert 0.0 <= r["quality"] <= 1.0
+
+    def test_fingerprint_order_insensitive(self, spark):
+        df = spark.createDataFrame(
+            [(0, "b a c"), (1, "c b a"), (2, "a b d")], ["doc_id", "text"]
+        )
+        got = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+        assert got[0] == got[1] != got[2]
+
+
+class TestSkew:
+    def test_salted_count_matches_plain(self, spark):
+        rows = [("hot", i) for i in range(500)] + [("cold", i) for i in range(3)]
+        df = spark.createDataFrame(rows, ["k", "v"])
+        got = {r["k"]: r["cnt"] for r in salted_count(df, ["k"]).collect()}
+        assert got == {"hot": 500, "cold": 3}
+
+    def test_salted_join_matches_plain(self, spark):
+        big = spark.createDataFrame(
+            [("a", i) for i in range(100)] + [("b", i) for i in range(5)],
+            ["k", "v"],
+        )
+        small = spark.createDataFrame([("a", "x"), ("b", "y")], ["k", "name"])
+        got = salted_join(big, small, "k")
+        assert got.count() == big.join(small, "k").count()
+
+
+class TestMultimodal:
+    def test_metadata_and_fake_decode(self, spark):
+        from openalex_neo4j_spark.operators.multimodal import (
+            decode_image_batches,
+            media_metadata,
+        )
+        rows = [
+            (0, "image", bytearray(b"\xff\xd8\xff" + b"x" * 100), "image/jpeg"),
+            (1, "image", bytearray(b"\x89PNG" + b"y" * 50), "image/png"),
+        ]
+        df = spark.createDataFrame(
+            rows, "media_id long, kind string, payload binary, mime string"
+        )
+        meta = {r["media_id"]: r for r in media_metadata(df).collect()}
+        assert meta[0]["sniffed_mime"] == "image/jpeg"
+        assert meta[1]["sniffed_mime"] == "image/png"
+        assert meta[0]["byte_len"] == 103
+
+        feats = {r["media_id"]: r for r in
+                 decode_image_batches(df, fake=True).collect()}
+        assert feats[0]["width"] >= 64 and feats[0]["channels"] in (1, 2, 3)
+
+        with pytest.raises(NotImplementedError):
+            decode_image_batches(df, fake=False)
