@@ -190,7 +190,12 @@ def _alias_author(name: str) -> str:
     return f"{parts[0][0].upper()}. {' '.join(p.title() for p in parts[1:])}"
 
 
-def build_world(n_works: int = 200, seed: int = 42) -> World:
+def build_world(n_works: int = 200, seed: int = 42,
+                filler_words: int = 0) -> World:
+    """``filler_words`` appends that many words of non-mention body
+    text per page — real Common-Crawl landing pages are tens of KB, so
+    benchmarks use heavy pages (extraction cost dominates) while unit
+    tests keep pages tiny. Filler never changes the triple set."""
     rng = random.Random(seed)
     n_authors = max(8, n_works // 2)
     n_insts = max(6, n_works // 8)
@@ -268,7 +273,8 @@ def build_world(n_works: int = 200, seed: int = 42) -> World:
             url = f"https://papers.example.org/{wid.lower()}"
             html = render_page(w, authors, institutions, sources, publishers,
                                topics, funders, doi_of, alias_variant=None,
-                               title_override=None, rng=rng)
+                               title_override=None, rng=rng,
+                               filler_words=filler_words)
             pages.append(Page(url, ts, html, None, lang, wid, False))
             w.page_titles.append(w.title)
         # alias pages without the DOI: always for orphan-only works,
@@ -292,7 +298,8 @@ def build_world(n_works: int = 200, seed: int = 42) -> World:
                 ahtml = render_page(w, authors, institutions, sources,
                                     publishers, topics, funders, doi_of,
                                     alias_variant=variant,
-                                    title_override=title_v, rng=rng)
+                                    title_override=title_v, rng=rng,
+                                    filler_words=filler_words)
                 ats = ts + _dt.timedelta(seconds=rng.randrange(86400))
                 pages.append(Page(aurl, ats, ahtml, None, lang, wid, True))
                 alias_truth[aurl] = wid
@@ -325,6 +332,7 @@ def render_page(
     alias_variant: int | None,
     title_override: str | None,
     rng: random.Random,
+    filler_words: int = 0,
 ) -> bytes:
     """Templated paper landing page with citation meta tags.
 
@@ -368,6 +376,13 @@ def render_page(
         f"<h1>{title}</h1><p class=\"abstract\">{w.abstract}</p>"
         f"<div>Published {w.year} in {src.display_name}.</div>"
     )
+    if filler_words > 0:
+        paras = []
+        for _ in range(max(1, filler_words // 80)):
+            paras.append(
+                "<p>" + " ".join(rng.choice(_WORDS) for _ in range(80)) + "</p>"
+            )
+        body += "<div class=\"related\">" + "".join(paras) + "</div>"
     html = (
         "<html><head>\n" + "\n".join(metas) + "\n</head><body>"
         + body + "<script>track();</script></body></html>"
@@ -385,6 +400,50 @@ def pages_dataframe(spark, world: World, num_partitions: int = 8):
 
     rows = [(p.url, p.warc_ts, p.html, p.text, p.lang) for p in world.pages]
     return spark.createDataFrame(rows, PAGES_SCHEMA).repartition(num_partitions, "url")
+
+
+def write_pages_parquet(world: World, path: str,
+                        row_group_size: int = 2000,
+                        num_files: int = 64) -> int:
+    """Write pages directly with pyarrow (no JVM round-trip) — the
+    fast path for large bench corpora. Sharded into ``num_files`` so
+    the Spark scan parallelizes (a single compressed file would yield
+    only size/maxPartitionBytes input splits)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema([
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ])
+    os.makedirs(path, exist_ok=True)
+    pages = world.pages
+    n = len(pages)
+    num_files = max(1, min(num_files, n))
+    per = (n + num_files - 1) // num_files
+    for i in range(num_files):
+        chunk = pages[i * per:(i + 1) * per]
+        if not chunk:
+            break
+        table = pa.Table.from_pydict(
+            {
+                "url": [p.url for p in chunk],
+                "warc_ts": [p.warc_ts.replace(tzinfo=None) for p in chunk],
+                "html": [p.html for p in chunk],
+                "text": [p.text for p in chunk],
+                "lang": [p.lang for p in chunk],
+            },
+            schema=schema,
+        )
+        pq.write_table(table, f"{path}/part-{i:05d}.parquet",
+                       row_group_size=row_group_size)
+    open(f"{path}/_SUCCESS", "w").close()
+    return n
 
 
 def world_for_sf(sf_dir: str) -> World:

@@ -1,0 +1,195 @@
+"""Per-partition lineage + resumable stage execution (north rule).
+
+Every stage writes lineage rows ``(stage, partition_id, input_rows,
+output_rows, wall_ms, status, run_id)`` to ``<root>/lineage`` as it
+commits output, so a killed run resumes without recomputing completed
+partitions:
+
+- the **extract** stage processes the input in ``num_buckets`` stable
+  hash buckets (``pmod(hash(url), num_buckets)``), committing
+  ``chunk_size`` buckets at a time via dynamic partition overwrite +
+  a lineage append. Kill the run between chunk commits and the next
+  run only processes the missing buckets.
+- **link** / **materialize** are global stages (entity linking is a
+  corpus-wide fixpoint) and resume at stage granularity: when their
+  output and ``status=done`` lineage row exist, they're read back
+  instead of recomputed.
+
+This is the analog of the reference's idempotent ``MERGE`` re-import
+(neo4j_client.py:246-252, tests/integration/test_neo4j_integration.py:
+134-151) — re-running converges to the same graph — plus the explicit
+bookkeeping the reference never needed because it ran single-process.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from openalex_neo4j_spark.schemas import LINEAGE_SCHEMA
+
+
+def _lineage_path(root: str) -> str:
+    return f"{root}/lineage"
+
+
+def read_lineage(spark: SparkSession, root: str) -> DataFrame:
+    try:
+        return spark.read.parquet(_lineage_path(root))
+    except Exception:
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+
+
+def append_lineage(spark: SparkSession, root: str, rows: list[tuple]) -> None:
+    spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(_lineage_path(root))
+
+
+def completed_partitions(spark: SparkSession, root: str, stage: str) -> set[int]:
+    lin = read_lineage(spark, root)
+    return {
+        r["partition_id"]
+        for r in lin.filter(
+            (F.col("stage") == stage) & (F.col("status") == "done")
+        ).select("partition_id").collect()
+    }
+
+
+def stage_done(spark: SparkSession, root: str, stage: str) -> bool:
+    return -1 in completed_partitions(spark, root, stage)
+
+
+def resumable_extract(
+    spark: SparkSession,
+    pages: DataFrame,
+    root: str,
+    run_id: str | None = None,
+    num_buckets: int = 32,
+    chunk_size: int = 8,
+    max_chunks: int | None = None,
+) -> DataFrame:
+    """Extract mentions bucket-by-bucket with per-partition lineage.
+
+    ``max_chunks`` limits how many chunk commits this call performs
+    (used by tests to simulate a killed run). Returns the mentions
+    table as currently materialized (possibly partial).
+    """
+    from openalex_neo4j_spark.extract import mentions_from_pages
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    out = f"{root}/mentions"
+    done = completed_partitions(spark, root, "extract")
+    todo = [b for b in range(num_buckets) if b not in done]
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    bucket_col = F.pmod(F.hash(F.col("url")), F.lit(num_buckets))
+
+    chunks = [todo[i:i + chunk_size] for i in range(0, len(todo), chunk_size)]
+    if max_chunks is not None:
+        chunks = chunks[:max_chunks]
+    for chunk in chunks:
+        t0 = time.time()
+        part = pages.filter(bucket_col.isin(chunk))
+        in_rows = part.count()
+        mentions = mentions_from_pages(part).withColumn(
+            "bucket", F.pmod(F.hash(F.col("url")), F.lit(num_buckets))
+        )
+        mentions.write.mode("overwrite").partitionBy("bucket").parquet(out)
+        out_rows = spark.read.parquet(out).filter(
+            F.col("bucket").isin(chunk)).count()
+        wall = int((time.time() - t0) * 1000)
+        per_bucket_wall = wall // max(len(chunk), 1)
+        append_lineage(spark, root, [
+            ("extract", b, in_rows, out_rows, per_bucket_wall, "done", run_id)
+            for b in chunk
+        ])
+    try:
+        return spark.read.parquet(out).drop("bucket")
+    except Exception:
+        from openalex_neo4j_spark.schemas import MENTION_SCHEMA
+        return spark.createDataFrame([], MENTION_SCHEMA)
+
+
+def resumable_stage(
+    spark: SparkSession,
+    root: str,
+    stage: str,
+    out_name: str,
+    compute,  # () -> DataFrame
+    run_id: str,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Global (stage-granular) resumable step: skip when already done."""
+    out = f"{root}/{out_name}"
+    if stage_done(spark, root, stage):
+        return spark.read.parquet(out)
+    t0 = time.time()
+    df = compute()
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(out)
+    result = spark.read.parquet(out)
+    n = result.count()
+    append_lineage(spark, root, [
+        (stage, -1, None, n, int((time.time() - t0) * 1000), "done", run_id)
+    ])
+    return result
+
+
+def build_graph_resumable(
+    spark: SparkSession,
+    pages: DataFrame,
+    root: str,
+    num_buckets: int = 32,
+    chunk_size: int = 8,
+) -> dict[str, DataFrame]:
+    """Full resumable pipeline; returns the materialized tables."""
+    from openalex_neo4j_spark.linking import link_mentions
+    from openalex_neo4j_spark.pipeline import (GraphTables, _named_nodes,
+                                               author_nodes, build_edges,
+                                               build_triples,
+                                               institution_nodes,
+                                               publisher_nodes, source_nodes,
+                                               work_nodes)
+
+    run_id = uuid.uuid4().hex[:12]
+    mentions = resumable_extract(spark, pages, root, run_id,
+                                 num_buckets, chunk_size)
+    linked = resumable_stage(
+        spark, root, "link", "linked",
+        lambda: link_mentions(mentions), run_id,
+    )
+    nodes = {
+        "Work": work_nodes(linked), "Author": author_nodes(linked),
+        "Institution": institution_nodes(linked),
+        "Source": source_nodes(linked),
+        "Topic": _named_nodes(linked, "topics", "topic"),
+        "Funder": _named_nodes(linked, "funders", "funder"),
+        "Publisher": publisher_nodes(linked),
+    }
+    out: dict[str, DataFrame] = {}
+    for label, df in nodes.items():
+        out[f"nodes_{label.lower()}"] = resumable_stage(
+            spark, root, f"nodes_{label.lower()}",
+            f"nodes_{label.lower()}", lambda df=df: df, run_id,
+        )
+    work = out["nodes_work"]
+    edges = resumable_stage(
+        spark, root, "edges", "edges",
+        lambda: build_edges(linked, work), run_id,
+        partition_by=["pred"],
+    )
+    node_map = {label: out[f"nodes_{label.lower()}"] for label in nodes}
+    triples = resumable_stage(
+        spark, root, "triples", "triples",
+        lambda: build_triples(node_map, edges), run_id,
+        partition_by=["pred"],
+    )
+    out["edges"] = edges
+    out["triples"] = triples
+    out["lineage"] = read_lineage(spark, root)
+    return out

@@ -8,37 +8,36 @@ Web-page mentions have no global id: DOI-bearing mentions are
 authoritative ("canonical"), DOI-less mentions ("orphans") must be
 linked by title similarity.
 
-Pipeline (all DataFrame ops, one pandas-free path):
+Pipeline (all DataFrame ops):
 
-1. **Exact grouping** via a virtual title node: every mention gets an
-   edge ``(url) -- (T:<norm_title>)``. Mentions sharing a normalized
-   title join into one component without any pairwise blowup.
-2. **Broadcast alias dictionary**: the (norm_title -> work_key) map of
-   canonical mentions, broadcast; orphans that hit it exactly skip the
-   expensive fuzzy stage (left_anti on the dict output).
-3. **MinHash/LSH blocking** for the remaining orphans: word-3-shingles
-   of the normalized title -> 16 md5-based min-hashes -> 8 bands of 2
-   -> band-bucket self-join produces candidate pairs (orphan x any).
-4. **TF-IDF cosine** over title tokens scores each candidate pair;
-   pairs with cosine >= threshold and equal publication year (when
-   both present) become fuzzy match edges.
-5. **Connected components** (hash-to-min) over exact + fuzzy edges;
-   each component becomes one Work cluster. Cluster id = min DOI key
-   if the component contains a canonical mention, else
-   ``title:<min norm_title>`` (the deterministic mint the oracle
-   reproduces).
+1. **Collapse to title groups.** Mentions sharing a normalized title
+   are one group (a single hash aggregation — no pairwise work, no
+   CC). At web scale this shrinks the linking problem from #mentions
+   to #distinct-titles before anything expensive runs.
+2. **Broadcast alias dictionary**: groups containing a DOI mention are
+   canonical (group key = min DOI key — deterministic). Orphan groups
+   that exactly share a canonical title are already linked by (1).
+3. **MinHash/LSH blocking** over the *remaining orphan group titles*:
+   word-3-shingles -> 16 md5 min-hashes -> 8 bands of 2 -> band-bucket
+   join against all group titles.
+4. **TF-IDF cosine** over title tokens scores candidate group pairs;
+   pairs >= threshold with compatible publication years become fuzzy
+   edges.
+5. **Connected components** (hash-to-min) over the *group graph* —
+   orders of magnitude smaller than the mention graph — then each
+   component gets a cluster id: min canonical DOI key, else
+   ``title:<min norm_title>`` (the mint the oracle reproduces).
 
-Scale notes: stages 3-4 only see orphans that failed the exact path
-(a small fraction of mentions); the band join is hash-partitioned on
-the band key; md5 is engine-stable (same values in SQL, Python,
-DuckDB) making signatures reproducible across resume runs.
+Scale notes: stages 3-5 touch only orphan groups and their candidates;
+md5-based signatures are engine-stable (Spark/DuckDB/Python) so resume
+runs reproduce identical blocking decisions.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
-from openalex_neo4j_spark.operators.cc import connected_components
+from openalex_neo4j_spark.operators.cc import connected_components_auto
 
 NUM_HASHES = 16
 BAND_SIZE = 2
@@ -57,198 +56,185 @@ def _with_work_key(mentions: DataFrame) -> DataFrame:
     )
 
 
-def _title_tokens(df: DataFrame, id_col: str) -> DataFrame:
-    """(id, tok, tf) token frequencies of the normalized title."""
-    toks = df.select(
-        F.col(id_col).alias("mid"),
-        F.explode(F.split(F.col("norm_title"), " ")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    return toks.groupBy("mid", "tok").agg(F.count("*").alias("tf"))
+def _minhash_bands(titles: DataFrame) -> DataFrame:
+    """(t, band, band_key) for a (t: norm_title) frame — md5 MinHash
+    banded for LSH; min over hex strings is engine-stable.
 
-
-def _shingles_expr(col: str = "norm_title", k: int = 3):
-    """Distinct word-k-shingles of a normalized title, pure SQL."""
-    arr = F.split(F.col(col), " ")
-    return F.array_distinct(
+    Computed entirely as nested array expressions inside one projection
+    (shingles -> per-seed min-hash -> band keys): zero shuffles, stays
+    in whole-stage codegen; the only row expansion is the final explode
+    to one row per band for the bucket join."""
+    arr = F.split(F.col("t"), " ")
+    sh = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(arr) - (k - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(arr, i, k)),
+            F.sequence(F.lit(1), F.greatest(F.size(arr) - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, 3)),
         )
     )
-
-
-def _minhash_bands(df: DataFrame, id_col: str = "mid") -> DataFrame:
-    """(mid, band, band_key): md5-based MinHash signature banded for LSH."""
-    sh = df.select(F.col(id_col).alias("mid"),
-                   F.explode(_shingles_expr()).alias("shingle"))
-    seeded = sh.select(
-        "mid",
-        "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(NUM_HASHES - 1))).alias("seed"),
-    ).withColumn(
-        "h",
-        F.conv(
-            F.substring(F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))), 1, 15),
-            16, 10,
-        ).cast("long"),
+    # materialize shingles and signature as columns between projections:
+    # inlining them into the nested seed-lambda re-evaluates the whole
+    # shingle construction per seed (no CSE through lambdas) and falls
+    # out of codegen — 10x slower at scale
+    with_sh = titles.select("t", sh.alias("sh"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
+        lambda seed: F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat_ws("|", seed, s)))
+        ),
     )
-    sig = seeded.groupBy("mid", "seed").agg(F.min("h").alias("minh"))
-    return (
-        sig.withColumn("band", (F.col("seed") / BAND_SIZE).cast("int"))
-        .groupBy("mid", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minh"))),
-                    lambda s: s["minh"].cast("string"),
-                ),
-                "-",
-            ).alias("band_key")
-        )
+    with_sig = with_sh.select("t", sig.alias("sig"))
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(NUM_HASHES // BAND_SIZE - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.concat_ws(
+                "|",
+                F.element_at(F.col("sig"), b * BAND_SIZE + 1),
+                F.element_at(F.col("sig"), b * BAND_SIZE + 2),
+            ).alias("band_key"),
+        ),
+    )
+    return with_sig.select("t", F.explode(bands).alias("bk")).select(
+        "t", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
 
 
-def _tfidf_weights(all_titles: DataFrame) -> DataFrame:
-    """(mid, tok, w, norm): L2-normalizable TF-IDF weights over title
-    tokens; DF computed over the full mention set."""
-    tf = _title_tokens(all_titles, "mid")
-    n_docs = all_titles.count()
-    df_tok = tf.groupBy("tok").agg(F.countDistinct("mid").alias("df"))
-    w = (
-        tf.join(df_tok, "tok")
-        .withColumn(
-            "w",
-            F.col("tf")
-            * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + F.lit(1.0)),
-        )
-        .select("mid", "tok", "w")
+def _tfidf_weights(titles: DataFrame) -> DataFrame:
+    """(t, tok, w, nrm): TF-IDF weights over distinct group titles."""
+    tf = (
+        titles.select("t", F.explode(F.split("t", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("t", "tok")
+        .agg(F.count("*").alias("tf"))
     )
-    norms = w.groupBy("mid").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-    return w.join(norms, "mid")
+    n_docs = titles.count()
+    df_tok = tf.groupBy("tok").agg(F.countDistinct("t").alias("df"))
+    w = tf.join(df_tok, "tok").withColumn(
+        "w",
+        F.col("tf")
+        * (F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)) + F.lit(1.0)),
+    ).select("t", "tok", "w")
+    norms = w.groupBy("t").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    return w.join(norms, "t")
 
 
 def link_mentions(mentions: DataFrame) -> DataFrame:
     """Assign every mention a cluster id.
 
     Input: the MENTION_SCHEMA DataFrame (url unique).
-    Output: mentions + ``work_key`` (canonical cluster id, never null).
+    Output: mentions + ``work_key`` (canonical cluster id, never null;
+    DOI mentions always keep their own DOI key).
     """
-    m = _with_work_key(mentions).localCheckpoint()
+    m = _with_work_key(mentions)
 
-    canon = m.filter(F.col("work_key").isNotNull())
-    orphans = m.filter(F.col("work_key").isNull())
-
-    # (1) exact grouping via virtual title nodes — no pairwise blowup
-    exact_edges = m.select(
-        F.col("url").alias("src"),
-        F.concat(F.lit("T:"), F.col("norm_title")).alias("dst"),
+    # (1)+(2) exact grouping + canonical keys, one aggregation.
+    # Project before grouping: localCheckpoint materializes the plan
+    # without Catalyst column pruning, so the projection must be
+    # explicit or the full mention payload rides through the shuffle.
+    grp = (
+        m.select("norm_title", "work_key", "publication_year")
+        .groupBy("norm_title")
+        .agg(
+            F.min("work_key").alias("canon_key"),
+            F.min("publication_year").alias("gyear"),
+        )
+        .localCheckpoint()
     )
 
-    # (2) broadcast alias dictionary: orphans with an exact canonical
-    # title hit are already linked by (1); exclude them from fuzzy.
-    alias_dict = (
-        canon.groupBy("norm_title").agg(F.min("work_key").alias("dict_key"))
-    )
-    fuzzy_orphans = orphans.join(
-        F.broadcast(alias_dict), "norm_title", "left_anti"
-    )
+    orphan_groups = grp.filter(F.col("canon_key").isNull())
 
-    # (3) LSH candidate pairs: fuzzy orphans vs all mentions
-    fuzzy_cnt = fuzzy_orphans.count()
-    if fuzzy_cnt > 0:
+    comp_map = None
+    if not orphan_groups.isEmpty():
+        # (3) LSH candidates: orphan group titles vs all group titles
         orphan_bands = _minhash_bands(
-            fuzzy_orphans.select(F.col("url").alias("mid"), "norm_title"), "mid"
-        )
-        all_bands = _minhash_bands(
-            m.select(F.col("url").alias("mid"), "norm_title"), "mid"
-        )
+            orphan_groups.select(F.col("norm_title").alias("t")))
+        all_bands = _minhash_bands(grp.select(F.col("norm_title").alias("t")))
         cand = (
             orphan_bands.alias("o")
             .join(
                 all_bands.alias("c"),
                 (F.col("o.band") == F.col("c.band"))
                 & (F.col("o.band_key") == F.col("c.band_key"))
-                & (F.col("o.mid") != F.col("c.mid")),
+                & (F.col("o.t") != F.col("c.t")),
             )
             .select(
-                F.least(F.col("o.mid"), F.col("c.mid")).alias("ma"),
-                F.greatest(F.col("o.mid"), F.col("c.mid")).alias("mb"),
+                F.least(F.col("o.t"), F.col("c.t")).alias("ta"),
+                F.greatest(F.col("o.t"), F.col("c.t")).alias("tb"),
             )
             .distinct()
         )
-        # never fuse two canonical mentions: DOI identity is authoritative
-        canon_ids = canon.select(F.col("url").alias("cid"))
+        # never fuse two canonical groups: DOI identity is authoritative
+        canon_titles = grp.filter(F.col("canon_key").isNotNull()).select(
+            F.col("norm_title").alias("ct"))
         both_canon = cand.join(
-            canon_ids.withColumnRenamed("cid", "ma"), "ma", "left_semi"
-        ).join(canon_ids.withColumnRenamed("cid", "mb"), "mb", "left_semi")
-        cand = cand.join(both_canon, ["ma", "mb"], "left_anti")
+            canon_titles.withColumnRenamed("ct", "ta"), "ta", "left_semi"
+        ).join(canon_titles.withColumnRenamed("ct", "tb"), "tb", "left_semi")
+        # checkpoint: cand feeds cand_titles, the scoring join, and the
+        # year filter — without this the LSH banding DAG re-executes
+        cand = cand.join(both_canon, ["ta", "tb"], "left_anti").localCheckpoint()
 
-        # (4) TF-IDF cosine scoring
-        weights = _tfidf_weights(m.select(F.col("url").alias("mid"), "norm_title"))
-        wa = weights.select(
-            F.col("mid").alias("ma"), "tok",
-            F.col("w").alias("wa"), F.col("nrm").alias("na"),
+        # (4) TF-IDF cosine over candidate title pairs
+        cand_titles = (
+            cand.select(F.col("ta").alias("t"))
+            .union(cand.select(F.col("tb").alias("t")))
+            .distinct()
         )
-        wb = weights.select(
-            F.col("mid").alias("mb"), "tok",
-            F.col("w").alias("wb"), F.col("nrm").alias("nb"),
-        )
+        weights = _tfidf_weights(grp.select(F.col("norm_title").alias("t")))
+        weights = weights.join(cand_titles, "t", "left_semi")
+        wa = weights.select(F.col("t").alias("ta"), "tok",
+                            F.col("w").alias("w_a"), F.col("nrm").alias("n_a"))
+        wb = weights.select(F.col("t").alias("tb"), "tok",
+                            F.col("w").alias("w_b"), F.col("nrm").alias("n_b"))
         scored = (
-            cand.join(wa, "ma")
-            .join(wb, ["mb", "tok"])
-            .groupBy("ma", "mb")
-            .agg(
-                (F.sum(F.col("wa") * F.col("wb"))
-                 / (F.first("na") * F.first("nb"))).alias("cosine")
-            )
+            cand.join(wa, "ta")
+            .join(wb, ["tb", "tok"])
+            .groupBy("ta", "tb")
+            .agg((F.sum(F.col("w_a") * F.col("w_b"))
+                  / (F.first("n_a") * F.first("n_b"))).alias("cosine"))
         )
-        years = m.select(F.col("url").alias("mid"), F.col("publication_year"))
+        years = grp.select(F.col("norm_title"), F.col("gyear"))
         fuzzy_edges = (
             scored.filter(F.col("cosine") >= COSINE_THRESHOLD)
-            .join(years.withColumnRenamed("mid", "ma")
-                       .withColumnRenamed("publication_year", "ya"), "ma")
-            .join(years.withColumnRenamed("mid", "mb")
-                       .withColumnRenamed("publication_year", "yb"), "mb")
+            .join(years.withColumnRenamed("norm_title", "ta")
+                       .withColumnRenamed("gyear", "ya"), "ta")
+            .join(years.withColumnRenamed("norm_title", "tb")
+                       .withColumnRenamed("gyear", "yb"), "tb")
             .filter(
                 F.col("ya").isNull() | F.col("yb").isNull()
                 | (F.col("ya") == F.col("yb"))
             )
-            .select(F.col("ma").alias("src"), F.col("mb").alias("dst"))
-        )
-        match_edges = exact_edges.unionByName(fuzzy_edges)
+            .select(F.col("ta").alias("src"), F.col("tb").alias("dst"))
+        ).localCheckpoint()
+
+        # (5) connected components over the (tiny) group graph
+        if not fuzzy_edges.isEmpty():
+            comp_map = connected_components_auto(fuzzy_edges).select(
+                F.col("node").alias("norm_title"), F.col("component"))
+
+    if comp_map is not None:
+        grp = grp.join(comp_map, "norm_title", "left")
     else:
-        match_edges = exact_edges
+        grp = grp.withColumn("component", F.lit(None).cast("string"))
+    grp = grp.withColumn(
+        "component", F.coalesce(F.col("component"), F.col("norm_title")))
 
-    # (5) connected components -> cluster ids
-    comp = connected_components(match_edges)
-    mention_comp = comp.filter(~F.col("node").startswith("T:")).select(
-        F.col("node").alias("url"), "component"
-    )
+    # cluster id per component: min canonical DOI key, else minted title id
+    cluster = grp.groupBy("component").agg(
+        F.min("canon_key").alias("c_doi"),
+        F.min("norm_title").alias("c_title"),
+    ).withColumn(
+        "cluster_id",
+        F.coalesce(F.col("c_doi"),
+                   F.concat(F.lit("title:"), F.col("c_title"))),
+    ).select("component", "cluster_id")
+    title_to_cluster = grp.join(cluster, "component").select(
+        "norm_title", "cluster_id")
 
-    linked = m.join(mention_comp, "url", "left")
-    # cluster id: min canonical DOI key in the component, else minted title id
-    cluster_key = (
-        linked.groupBy("component")
-        .agg(
-            F.min("work_key").alias("doi_key"),
-            F.min("norm_title").alias("min_norm"),
-        )
-        .withColumn(
-            "cluster_id",
-            F.coalesce(F.col("doi_key"), F.concat(F.lit("title:"), F.col("min_norm"))),
-        )
-        .select("component", "cluster_id")
-    )
-    out = (
-        linked.join(cluster_key, "component", "left")
-        .withColumn(
-            "work_key",
-            F.coalesce(
-                F.col("work_key"),
-                F.col("cluster_id"),
-                F.concat(F.lit("title:"), F.col("norm_title")),
-            ),
-        )
-        .drop("component", "cluster_id")
-    )
+    out = m.join(title_to_cluster, "norm_title", "left").withColumn(
+        "work_key",
+        # DOI mentions keep their own identity; orphans take the cluster
+        F.coalesce(F.col("work_key"), F.col("cluster_id"),
+                   F.concat(F.lit("title:"), F.col("norm_title"))),
+    ).drop("cluster_id")
     return out

@@ -20,6 +20,52 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Below this edge count the component graph fits comfortably on the
+# driver and a local union-find beats 2 shuffles/iteration of the
+# distributed loop by an order of magnitude in wall time.
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def driver_union_find(edge_rows: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Classic path-compressed union-find; component = min member
+    (string order), matching the distributed algorithm exactly."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps the min-member invariant cheap
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent]
+
+
+def connected_components_auto(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    max_driver_edges: int = DRIVER_CC_MAX_EDGES,
+) -> DataFrame:
+    """Size-guarded CC: contracted match graphs are usually tiny
+    relative to the corpus (groups, not mentions), so count the edges
+    cheaply and collect+union-find under the threshold; fall back to
+    the distributed hash-to-min loop above it."""
+    n = edges.count()
+    if n <= max_driver_edges:
+        rows = [(r[src], r[dst]) for r in edges.collect()]
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            driver_union_find(rows) or [("", "")],
+            "node string, component string",
+        ).filter(F.col("node") != "")
+    return connected_components(edges, src, dst)
+
 
 def connected_components(
     edges: DataFrame,
@@ -57,10 +103,26 @@ def connected_components(
         lab = labels.select(
             F.col("node").alias("_n"), F.col("component").alias("_c")
         )
-        new_labels = (
+        prop = (
             sym.join(lab, sym["a"] == lab["_n"], "inner")
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("_c").alias("component"))
+        )
+        # path halving (pointer jumping): component <- label(component);
+        # contracts chain distances geometrically so convergence is
+        # O(log diameter) instead of O(diameter)
+        ptr = prop.select(
+            F.col("node").alias("_pn"), F.col("component").alias("_pc")
+        )
+        new_labels = (
+            prop.join(ptr, prop["component"] == ptr["_pn"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("_pc"), F.col("component")),
+                ).alias("component"),
+            )
         )
         # checkpoint every iteration: the changed-count action below
         # would otherwise recompute the whole lineage chain

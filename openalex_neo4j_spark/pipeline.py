@@ -261,7 +261,9 @@ def build_triples(nodes: dict[str, DataFrame], edges: DataFrame) -> DataFrame:
 
 
 def build_graph(pages: DataFrame) -> GraphTables:
-    mentions = mentions_from_pages(pages)
+    # checkpoint: the Arrow-parse stage feeds both the group aggregation
+    # and the final mention join — materialize it exactly once
+    mentions = mentions_from_pages(pages).localCheckpoint()
     linked = link_mentions(mentions).localCheckpoint()
 
     nodes = {

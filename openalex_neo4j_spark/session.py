@@ -30,8 +30,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # sized for heavy rows: pages.html is 15-50KB, so 10k-row arrow
+        # batches would be 150-500MB allocations per in-flight task
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # pages.html rows are tens of KB; the 4096-row default columnar
+        # batch can overflow the on-heap column vector on binary columns
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

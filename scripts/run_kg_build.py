@@ -27,6 +27,9 @@ def main() -> int:
     ap.add_argument("--out", required=True)
     ap.add_argument("--report-pr", action="store_true")
     ap.add_argument("--num-partitions", type=int, default=32)
+    ap.add_argument("--count-only", action="store_true",
+                    help="skip table writes; time build + triples count "
+                         "(scaling-bench mode)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -44,6 +47,42 @@ def main() -> int:
     else:
         world = build_world(args.n_works, seed=args.seed)
         pages = pages_dataframe(spark, world, num_partitions=args.num_partitions)
+
+    if args.count_only:
+        from openalex_neo4j_spark.extract import mentions_from_pages
+        from openalex_neo4j_spark.linking import link_mentions
+        from openalex_neo4j_spark.pipeline import (GraphTables, _named_nodes,
+                                                   author_nodes, build_edges,
+                                                   build_triples,
+                                                   institution_nodes,
+                                                   publisher_nodes,
+                                                   source_nodes, work_nodes)
+
+        t0 = time.time()
+        mentions = mentions_from_pages(pages).localCheckpoint()
+        t_parse = time.time() - t0
+        linked = link_mentions(mentions).localCheckpoint()
+        t_link = time.time() - t0 - t_parse
+        nodes = {
+            "Work": work_nodes(linked), "Author": author_nodes(linked),
+            "Institution": institution_nodes(linked),
+            "Source": source_nodes(linked),
+            "Topic": _named_nodes(linked, "topics", "topic"),
+            "Funder": _named_nodes(linked, "funders", "funder"),
+            "Publisher": publisher_nodes(linked),
+        }
+        edges = build_edges(linked, nodes["Work"])
+        n_triples = build_triples(nodes, edges).count()
+        wall = time.time() - t0
+        print(json.dumps({
+            "triples": n_triples,
+            "pipeline_sec": round(wall, 2),
+            "parse_sec": round(t_parse, 2),
+            "link_sec": round(t_link, 2),
+            "assemble_sec": round(wall - t_parse - t_link, 2),
+            "triples_per_sec": round(n_triples / wall, 1),
+        }))
+        return 0
 
     g = build_graph(pages)
     counts = write_graph(g, args.out)

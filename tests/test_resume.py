@@ -1,0 +1,80 @@
+"""Resume semantics: a killed run must not recompute completed
+partitions, and the resumed output must equal a fresh run's output
+(north rule; SURVEY §5 resume test)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from openalex_neo4j_spark.corpus import build_world, pages_dataframe
+from openalex_neo4j_spark.lineage import (
+    build_graph_resumable,
+    completed_partitions,
+    read_lineage,
+    resumable_extract,
+)
+from openalex_neo4j_spark.oracle import oracle_triples, precision_recall
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    world = build_world(80, seed=42)
+    return pages_dataframe(spark, world), world
+
+
+def test_killed_extract_resumes_without_recompute(spark, pages, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("resume"))
+    pages_df, _ = pages
+
+    # simulate a kill: only 1 chunk (4 of 16 buckets) commits
+    resumable_extract(spark, pages_df, root, run_id="run1",
+                      num_buckets=16, chunk_size=4, max_chunks=1)
+    done1 = completed_partitions(spark, root, "extract")
+    assert len(done1) == 4
+
+    # resume: completes the remaining buckets under a new run id
+    m = resumable_extract(spark, pages_df, root, run_id="run2",
+                          num_buckets=16, chunk_size=4)
+    done2 = completed_partitions(spark, root, "extract")
+    assert done2 == set(range(16))
+
+    lin = read_lineage(spark, root).filter(F.col("stage") == "extract")
+    by_run = {r["run_id"]: r["cnt"] for r in
+              lin.groupBy("run_id").agg(F.count("*").alias("cnt")).collect()}
+    # run2 only processed the 12 buckets run1 didn't commit
+    assert by_run == {"run1": 4, "run2": 12}
+    # no bucket recorded twice
+    assert lin.count() == lin.select("partition_id").distinct().count()
+
+    # the resumed mention set equals a direct extraction
+    from openalex_neo4j_spark.extract import mentions_from_pages
+    direct = {r["url"] for r in
+              mentions_from_pages(pages_df).select("url").collect()}
+    resumed = {r["url"] for r in m.select("url").collect()}
+    assert resumed == direct
+
+
+def test_full_resumable_pipeline_matches_oracle(spark, pages, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("resume_full"))
+    pages_df, world = pages
+    tables = build_graph_resumable(spark, pages_df, root,
+                                   num_buckets=8, chunk_size=8)
+    pred = {(r["subj"], r["pred"], r["obj"])
+            for r in tables["triples"].collect()}
+    p, r = precision_recall(pred, oracle_triples(world))
+    assert p >= 0.95 and r >= 0.95
+
+    # lineage covers every stage
+    stages = {r["stage"] for r in tables["lineage"].select("stage").collect()}
+    assert {"extract", "link", "edges", "triples"} <= stages
+
+    # idempotent re-run: everything skipped, same triples
+    tables2 = build_graph_resumable(spark, pages_df, root,
+                                    num_buckets=8, chunk_size=8)
+    pred2 = {(r["subj"], r["pred"], r["obj"])
+             for r in tables2["triples"].collect()}
+    assert pred2 == pred
+    # no new lineage rows for completed stages
+    lin2 = tables2["lineage"].filter(F.col("stage") == "triples")
+    assert lin2.count() == 1
