@@ -344,6 +344,32 @@ def q_binary_meta(spark, sf):
     )
 
 
+def q_salted_status_count(spark, sf):
+    """Skew-safe two-phase aggregation (operators/skew.py): result must
+    equal the plain GROUP BY — the oracle IS the plain form."""
+    from openalex_neo4j_spark.operators.skew import salted_count
+    return salted_count(_t(spark, sf, "orders"), ["o_orderstatus"],
+                        num_salts=16).select("o_orderstatus", "cnt")
+
+
+def q_multimodal_decode(spark, sf):
+    """Multimodal decode path end-to-end (operators/multimodal.py):
+    opaque binary payloads -> mapInPandas feature extraction. The
+    deterministic stub decoder derives features from md5 bytes, so a
+    SQL oracle can replicate it exactly."""
+    from openalex_neo4j_spark.operators.multimodal import decode_image_batches
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = decode_image_batches(media, fake=True)
+    return feats.select(
+        "media_id", "byte_len", "width", "height", "channels",
+        F.floor(F.col("mean_luma") * 1000000).cast("long").alias("luma_micros"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Events (window/json/sessionization surface)
 # ---------------------------------------------------------------------------
@@ -650,6 +676,34 @@ SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
        md5(text) AS digest
 FROM documents
 """,
+    "q_salted_status_count": """
+SELECT o_orderstatus, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus
+""",
+    "q_multimodal_decode": """
+WITH h AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         md5(text) AS hx
+  FROM documents),
+b AS (
+  SELECT media_id, byte_len,
+    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS d0,
+    (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS d1,
+    (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) AS d2,
+    (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1) AS d3
+  FROM h)
+SELECT media_id, byte_len,
+       CAST(64 + d0 % 192 AS INT) AS width,
+       CAST(64 + d1 % 192 AS INT) AS height,
+       CAST(1 + d2 % 3 AS INT) AS channels,
+       CAST(floor(CAST(d3 AS DOUBLE) / 255.0 * 1000000) AS BIGINT)
+         AS luma_micros
+FROM b
+""",
     "q_events_hourly": """
 SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS cnt,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
@@ -697,6 +751,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quality": q_quality,
     "q_fingerprint": q_fingerprint,
     "q_binary_meta": q_binary_meta,
+    "q_salted_status_count": q_salted_status_count,
+    "q_multimodal_decode": q_multimodal_decode,
     "q_events_hourly": q_events_hourly,
     "q_events_json": q_events_json,
     "q_user_event_seq": q_user_event_seq,

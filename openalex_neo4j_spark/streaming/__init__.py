@@ -1,0 +1,7 @@
+"""Structured Streaming surface: continuous crawl ingestion."""
+
+from openalex_neo4j_spark.streaming.ingest import (  # noqa: F401
+    crawl_stats_stream,
+    pages_stream,
+    stream_ingest_mentions,
+)

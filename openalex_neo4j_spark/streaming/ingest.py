@@ -1,0 +1,92 @@
+"""Continuous crawl ingestion via Structured Streaming.
+
+The reference is strictly batch (one-shot CLI import — cli.py:138-156;
+SURVEY §2.10), but a web-scale corpus arrives continuously. This
+module adds the streaming front half of the pipeline:
+
+- :func:`pages_stream` — file-source stream over a pages directory
+  (new parquet files = newly crawled WARC batches).
+- :func:`stream_ingest_mentions` — per-micro-batch mention extraction
+  appended to the warehouse through ``foreachBatch``, with one lineage
+  row per epoch (same lineage table the batch pipeline uses, so a
+  streaming ingest is resumable/observable the same way; exactly-once
+  per epoch comes from the checkpointed epoch id).
+- :func:`crawl_stats_stream` — watermarked tumbling-window crawl
+  statistics (late pages beyond the watermark are dropped).
+
+Entity linking and canonicalization stay batch (they are corpus-wide
+fixpoints — north rule); the streaming layer lands raw mentions that
+periodic batch link/materialize runs pick up.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from openalex_neo4j_spark.schemas import LINEAGE_SCHEMA, PAGES_SCHEMA
+
+
+def pages_stream(spark: SparkSession, pages_dir: str,
+                 max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(pages_dir)
+
+
+def stream_ingest_mentions(
+    spark: SparkSession,
+    pages_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start the ingest stream; returns the StreamingQuery.
+
+    With ``available_now=True`` the query drains everything currently
+    in ``pages_dir`` and stops (batch-like test/backfill mode);
+    otherwise it runs continuously.
+    """
+    from openalex_neo4j_spark.extract import mentions_from_pages
+
+    def ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        t0 = time.time()
+        n_in = batch_df.count()
+        if n_in == 0:
+            return
+        mentions = mentions_from_pages(batch_df)
+        mentions.write.mode("append").parquet(f"{out_root}/mentions_stream")
+        n_out = (
+            spark.read.parquet(f"{out_root}/mentions_stream").count()
+        )
+        spark.createDataFrame(
+            [(
+                "stream_ingest", int(epoch_id), n_in, n_out,
+                int((time.time() - t0) * 1000), "done", f"epoch-{epoch_id}",
+            )],
+            LINEAGE_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(f"{out_root}/lineage")
+
+    stream = pages_stream(spark, pages_dir)
+    writer = (
+        stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def crawl_stats_stream(stream: DataFrame, window: str = "1 hour",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window crawl statistics per language."""
+    return (
+        stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), "lang")
+        .agg(
+            F.count("*").alias("pages"),
+            F.sum(F.length("html").cast("long")).alias("bytes"),
+        )
+    )

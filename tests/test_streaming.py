@@ -1,0 +1,60 @@
+"""Structured Streaming ingest tests (availableNow drain mode)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openalex_neo4j_spark.corpus import build_world, write_pages_parquet
+from openalex_neo4j_spark.streaming import (
+    crawl_stats_stream,
+    pages_stream,
+    stream_ingest_mentions,
+)
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    world = build_world(40, seed=11)
+    d = str(tmp_path_factory.mktemp("pages_stream"))
+    write_pages_parquet(world, d, num_files=4)
+    return d, world
+
+
+def test_stream_ingest_drains_and_records_lineage(spark, pages_dir,
+                                                  tmp_path_factory):
+    d, world = pages_dir
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+
+    q = stream_ingest_mentions(spark, d, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    mentions = spark.read.parquet(f"{out}/mentions_stream")
+    scholarly = sum(1 for p in world.pages if p.work_id is not None)
+    assert mentions.count() == scholarly
+    lineage = spark.read.parquet(f"{out}/lineage")
+    rows = lineage.filter(F.col("stage") == "stream_ingest").collect()
+    assert rows and all(r["status"] == "done" for r in rows)
+
+    # restart with the same checkpoint: nothing new to process
+    q2 = stream_ingest_mentions(spark, d, out, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{out}/mentions_stream").count() == scholarly
+
+
+def test_windowed_crawl_stats(spark, pages_dir, tmp_path_factory):
+    d, world = pages_dir
+    stats = crawl_stats_stream(pages_stream(spark, d), window="1 hour")
+    ckpt = str(tmp_path_factory.mktemp("ckpt_stats"))
+    q = (
+        stats.writeStream.format("memory").queryName("crawl_stats")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select sum(pages) as p from crawl_stats").collect()[0]["p"]
+    assert got == len(world.pages)
+    one = spark.sql("select * from crawl_stats limit 1").collect()[0]
+    assert one["win"]["start"] is not None and one["bytes"] > 0
