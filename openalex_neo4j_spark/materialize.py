@@ -21,9 +21,40 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from openalex_neo4j_spark.pipeline import GraphTables
+
+
+def upsert_nodes(spark: SparkSession, path: str, new_df: DataFrame,
+                 key: str = "id") -> DataFrame:
+    """Last-wins MERGE upsert (A2): re-imported rows overwrite stored
+    properties, like the reference's ``MERGE … SET n += item``
+    (neo4j_client.py:246-252; last-wins asserted in its
+    tests/integration/test_neo4j_integration.py:134-151).
+
+    Parquet stand-in for Iceberg ``MERGE INTO … WHEN MATCHED THEN
+    UPDATE SET * WHEN NOT MATCHED THEN INSERT *``: union old+new with
+    a precedence column, keep the newest row per key, rewrite. On
+    Iceberg this is a single MERGE INTO statement; the semantics here
+    are identical.
+    """
+    try:
+        old = spark.read.parquet(path).withColumn("_gen", F.lit(0))
+    except Exception:
+        old = None
+    new = new_df.withColumn("_gen", F.lit(1))
+    merged = new if old is None else old.unionByName(new, allowMissingColumns=True)
+    w = Window.partitionBy(key).orderBy(F.col("_gen").desc())
+    result = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_gen")
+    )
+    # materialize before overwriting the input path
+    result = result.localCheckpoint()
+    result.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def _write(df: DataFrame, path: str, partition_by: list[str] | None = None) -> int:

@@ -260,12 +260,18 @@ def build_triples(nodes: dict[str, DataFrame], edges: DataFrame) -> DataFrame:
     return out.dropDuplicates(["subj", "pred", "obj"])
 
 
-def build_graph(pages: DataFrame) -> GraphTables:
+def build_graph(pages: DataFrame, skip_abstracts: bool = False) -> GraphTables:
     # checkpoint: the Arrow-parse stage feeds both the group aggregation
     # and the final mention join — materialize it exactly once
     mentions = mentions_from_pages(pages).localCheckpoint()
-    linked = link_mentions(mentions).localCheckpoint()
+    linked = link_mentions(mentions)
+    if skip_abstracts:
+        # P10 (importer.py:73-77): drop abstracts behind a config flag
+        linked = linked.withColumn("abstract", F.lit(None).cast("string"))
+    return build_graph_from_linked(linked.localCheckpoint())
 
+
+def build_graph_from_linked(linked: DataFrame) -> GraphTables:
     nodes = {
         "Work": work_nodes(linked),
         "Author": author_nodes(linked),
@@ -277,4 +283,5 @@ def build_graph(pages: DataFrame) -> GraphTables:
     }
     edges = build_edges(linked, nodes["Work"])
     triples = build_triples(nodes, edges)
-    return GraphTables(nodes=nodes, edges=edges, triples=triples, mentions=linked)
+    return GraphTables(nodes=nodes, edges=edges, triples=triples,
+                       mentions=linked)
