@@ -56,14 +56,23 @@ def _with_work_key(mentions: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_bands(titles: DataFrame) -> DataFrame:
-    """(t, band, band_key) for a (t: norm_title) frame — md5 MinHash
-    banded for LSH; min over hex strings is engine-stable.
+def _minhash_bands(titles: DataFrame, extra_cols: list[str] | None = None
+                   ) -> DataFrame:
+    """(t, [extra...], band, band_key) for a (t: norm_title) frame —
+    MinHash banded for LSH.
+
+    Hash = native ``xxhash64`` (whole-stage codegen; an interpreted
+    md5-expression variant measured ~10x slower at 300k titles). The
+    engine-stable md5 MinHash lives in operators/dedup.py where the
+    DuckDB-oracle contract needs it; linking only needs deterministic
+    blocking, which xxhash64 gives.
 
     Computed entirely as nested array expressions inside one projection
-    (shingles -> per-seed min-hash -> band keys): zero shuffles, stays
-    in whole-stage codegen; the only row expansion is the final explode
-    to one row per band for the bucket join."""
+    (shingles -> per-seed min-hash -> band keys): zero shuffles; the
+    intermediates are materialized as columns between projections —
+    inlining them into the seed lambda re-evaluates the shingle
+    construction per seed (no CSE through lambdas)."""
+    extra_cols = extra_cols or []
     arr = F.split(F.col("t"), " ")
     sh = F.array_distinct(
         F.transform(
@@ -71,52 +80,59 @@ def _minhash_bands(titles: DataFrame) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(arr, i, 3)),
         )
     )
-    # materialize shingles and signature as columns between projections:
-    # inlining them into the nested seed-lambda re-evaluates the whole
-    # shingle construction per seed (no CSE through lambdas) and falls
-    # out of codegen — 10x slower at scale
-    with_sh = titles.select("t", sh.alias("sh"))
+    with_sh = titles.select("t", *extra_cols, sh.alias("sh"))
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
         lambda seed: F.array_min(
-            F.transform(F.col("sh"), lambda s: F.md5(F.concat_ws("|", seed, s)))
+            F.transform(
+                F.col("sh"),
+                lambda s: F.xxhash64(F.concat_ws("|", seed.cast("string"), s)),
+            )
         ),
     )
-    with_sig = with_sh.select("t", sig.alias("sig"))
+    with_sig = with_sh.select("t", *extra_cols, sig.alias("sig"))
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(NUM_HASHES // BAND_SIZE - 1)),
         lambda b: F.struct(
             b.alias("band"),
             F.concat_ws(
                 "|",
-                F.element_at(F.col("sig"), b * BAND_SIZE + 1),
-                F.element_at(F.col("sig"), b * BAND_SIZE + 2),
+                F.element_at(F.col("sig"), b * BAND_SIZE + 1).cast("string"),
+                F.element_at(F.col("sig"), b * BAND_SIZE + 2).cast("string"),
             ).alias("band_key"),
         ),
     )
-    return with_sig.select("t", F.explode(bands).alias("bk")).select(
-        "t", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    return with_sig.select("t", *extra_cols, F.explode(bands).alias("bk")).select(
+        "t", *extra_cols,
+        F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"),
     )
 
 
 def _tfidf_weights(titles: DataFrame) -> DataFrame:
-    """(t, tok, w, nrm): TF-IDF weights over distinct group titles."""
+    """(tid, tok, w, nrm): TF-IDF weights over distinct group titles.
+
+    Input: (tid, t). Tokens are hashed to longs as well, so the
+    downstream scoring joins shuffle only fixed-width values."""
     tf = (
-        titles.select("t", F.explode(F.split("t", " ")).alias("tok"))
-        .filter(F.col("tok") != "")
-        .groupBy("t", "tok")
+        titles.select(
+            "tid",
+            F.explode(F.split("t", " ")).alias("tok_s"),
+        )
+        .filter(F.col("tok_s") != "")
+        .select("tid", F.xxhash64("tok_s").alias("tok"))
+        .groupBy("tid", "tok")
         .agg(F.count("*").alias("tf"))
     )
     n_docs = titles.count()
-    df_tok = tf.groupBy("tok").agg(F.countDistinct("t").alias("df"))
+    df_tok = tf.groupBy("tok").agg(F.countDistinct("tid").alias("df"))
     w = tf.join(df_tok, "tok").withColumn(
         "w",
         F.col("tf")
         * (F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)) + F.lit(1.0)),
-    ).select("t", "tok", "w")
-    norms = w.groupBy("t").agg(
+    ).select("tid", "tok", "w")
+    norms = w.groupBy("tid").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-    return w.join(norms, "t")
+    return w.join(norms, "tid")
 
 
 def link_mentions(mentions: DataFrame) -> DataFrame:
@@ -125,17 +141,26 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
     Input: the MENTION_SCHEMA DataFrame (url unique).
     Output: mentions + ``work_key`` (canonical cluster id, never null;
     DOI mentions always keep their own DOI key).
+
+    Shuffle-byte discipline: all hot joins are keyed by ``tid``, an
+    8-byte xxhash64 surrogate of the normalized title, instead of the
+    ~50-char title string (5-10x fewer shuffled key bytes at scale);
+    the string is carried only where an output needs it (the minted
+    ``title:<min norm_title>`` cluster ids and the final mention map).
     """
     m = _with_work_key(mentions)
+    tid = F.xxhash64(F.col("norm_title"))
 
     # (1)+(2) exact grouping + canonical keys, one aggregation.
     # Project before grouping: localCheckpoint materializes the plan
     # without Catalyst column pruning, so the projection must be
     # explicit or the full mention payload rides through the shuffle.
     grp = (
-        m.select("norm_title", "work_key", "publication_year")
-        .groupBy("norm_title")
+        m.select(tid.alias("tid"), "norm_title", "work_key",
+                 "publication_year")
+        .groupBy("tid")
         .agg(
+            F.min("norm_title").alias("norm_title"),
             F.min("work_key").alias("canon_key"),
             F.min("publication_year").alias("gyear"),
         )
@@ -146,45 +171,51 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
 
     comp_map = None
     if not orphan_groups.isEmpty():
-        # (3) LSH candidates: orphan group titles vs all group titles
-        orphan_bands = _minhash_bands(
-            orphan_groups.select(F.col("norm_title").alias("t")))
-        all_bands = _minhash_bands(grp.select(F.col("norm_title").alias("t")))
+        # (3) LSH candidates: one banding pass over all group titles
+        # (orphans flagged); orphan rows join against the full set
+        all_bands = _minhash_bands(
+            grp.select(F.col("norm_title").alias("t"), F.col("tid"),
+                       F.col("canon_key").isNull().alias("is_orphan")),
+            extra_cols=["tid", "is_orphan"],
+        ).drop("t").localCheckpoint()
+        orphan_bands = all_bands.filter(F.col("is_orphan"))
         cand = (
             orphan_bands.alias("o")
             .join(
                 all_bands.alias("c"),
                 (F.col("o.band") == F.col("c.band"))
                 & (F.col("o.band_key") == F.col("c.band_key"))
-                & (F.col("o.t") != F.col("c.t")),
+                & (F.col("o.tid") != F.col("c.tid")),
             )
             .select(
-                F.least(F.col("o.t"), F.col("c.t")).alias("ta"),
-                F.greatest(F.col("o.t"), F.col("c.t")).alias("tb"),
+                F.least(F.col("o.tid"), F.col("c.tid")).alias("ta"),
+                F.greatest(F.col("o.tid"), F.col("c.tid")).alias("tb"),
             )
             .distinct()
         )
         # never fuse two canonical groups: DOI identity is authoritative
-        canon_titles = grp.filter(F.col("canon_key").isNotNull()).select(
-            F.col("norm_title").alias("ct"))
+        canon_tids = grp.filter(F.col("canon_key").isNotNull()).select(
+            F.col("tid").alias("ct"))
         both_canon = cand.join(
-            canon_titles.withColumnRenamed("ct", "ta"), "ta", "left_semi"
-        ).join(canon_titles.withColumnRenamed("ct", "tb"), "tb", "left_semi")
-        # checkpoint: cand feeds cand_titles, the scoring join, and the
-        # year filter — without this the LSH banding DAG re-executes
+            canon_tids.withColumnRenamed("ct", "ta"), "ta", "left_semi"
+        ).join(canon_tids.withColumnRenamed("ct", "tb"), "tb", "left_semi")
+        # checkpoint: cand feeds cand_tids, the scoring join, and the
+        # year filter -- without this the LSH banding DAG re-executes
         cand = cand.join(both_canon, ["ta", "tb"], "left_anti").localCheckpoint()
 
-        # (4) TF-IDF cosine over candidate title pairs
-        cand_titles = (
-            cand.select(F.col("ta").alias("t"))
-            .union(cand.select(F.col("tb").alias("t")))
+        # (4) TF-IDF cosine over candidate title pairs (only longs +
+        # doubles move through the scoring shuffles)
+        cand_tids = (
+            cand.select(F.col("ta").alias("tid"))
+            .union(cand.select(F.col("tb").alias("tid")))
             .distinct()
         )
-        weights = _tfidf_weights(grp.select(F.col("norm_title").alias("t")))
-        weights = weights.join(cand_titles, "t", "left_semi")
-        wa = weights.select(F.col("t").alias("ta"), "tok",
+        weights = _tfidf_weights(
+            grp.select(F.col("tid"), F.col("norm_title").alias("t")))
+        weights = weights.join(cand_tids, "tid", "left_semi")
+        wa = weights.select(F.col("tid").alias("ta"), "tok",
                             F.col("w").alias("w_a"), F.col("nrm").alias("n_a"))
-        wb = weights.select(F.col("t").alias("tb"), "tok",
+        wb = weights.select(F.col("tid").alias("tb"), "tok",
                             F.col("w").alias("w_b"), F.col("nrm").alias("n_b"))
         scored = (
             cand.join(wa, "ta")
@@ -193,31 +224,36 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
             .agg((F.sum(F.col("w_a") * F.col("w_b"))
                   / (F.first("n_a") * F.first("n_b"))).alias("cosine"))
         )
-        years = grp.select(F.col("norm_title"), F.col("gyear"))
+        years = grp.select(F.col("tid"), F.col("gyear"))
         fuzzy_edges = (
             scored.filter(F.col("cosine") >= COSINE_THRESHOLD)
-            .join(years.withColumnRenamed("norm_title", "ta")
+            .join(years.withColumnRenamed("tid", "ta")
                        .withColumnRenamed("gyear", "ya"), "ta")
-            .join(years.withColumnRenamed("norm_title", "tb")
+            .join(years.withColumnRenamed("tid", "tb")
                        .withColumnRenamed("gyear", "yb"), "tb")
             .filter(
                 F.col("ya").isNull() | F.col("yb").isNull()
                 | (F.col("ya") == F.col("yb"))
             )
-            .select(F.col("ta").alias("src"), F.col("tb").alias("dst"))
+            .select(F.col("ta").cast("string").alias("src"),
+                    F.col("tb").cast("string").alias("dst"))
         ).localCheckpoint()
 
-        # (5) connected components over the (tiny) group graph
+        # (5) connected components over the (tiny) group graph. The
+        # component id is an arbitrary-but-deterministic representative
+        # tid; semantic cluster ids below come from canon_key /
+        # norm_title minima, never from the component id itself.
         if not fuzzy_edges.isEmpty():
             comp_map = connected_components_auto(fuzzy_edges).select(
-                F.col("node").alias("norm_title"), F.col("component"))
+                F.col("node").cast("long").alias("tid"), F.col("component"))
 
     if comp_map is not None:
-        grp = grp.join(comp_map, "norm_title", "left")
+        grp = grp.join(comp_map, "tid", "left")
     else:
         grp = grp.withColumn("component", F.lit(None).cast("string"))
     grp = grp.withColumn(
-        "component", F.coalesce(F.col("component"), F.col("norm_title")))
+        "component",
+        F.coalesce(F.col("component"), F.col("tid").cast("string")))
 
     # cluster id per component: min canonical DOI key, else minted title id
     cluster = grp.groupBy("component").agg(
@@ -228,13 +264,17 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
         F.coalesce(F.col("c_doi"),
                    F.concat(F.lit("title:"), F.col("c_title"))),
     ).select("component", "cluster_id")
-    title_to_cluster = grp.join(cluster, "component").select(
-        "norm_title", "cluster_id")
+    tid_to_cluster = grp.join(cluster, "component").select("tid", "cluster_id")
 
-    out = m.join(title_to_cluster, "norm_title", "left").withColumn(
-        "work_key",
-        # DOI mentions keep their own identity; orphans take the cluster
-        F.coalesce(F.col("work_key"), F.col("cluster_id"),
-                   F.concat(F.lit("title:"), F.col("norm_title"))),
-    ).drop("cluster_id")
+    out = (
+        m.withColumn("tid", tid)
+        .join(tid_to_cluster, "tid", "left")
+        .withColumn(
+            "work_key",
+            # DOI mentions keep their own identity; orphans take the cluster
+            F.coalesce(F.col("work_key"), F.col("cluster_id"),
+                       F.concat(F.lit("title:"), F.col("norm_title"))),
+        )
+        .drop("cluster_id", "tid")
+    )
     return out
