@@ -400,6 +400,93 @@ def q_user_event_seq(spark, sf):
         "event_id", "user_id", F.row_number().over(w).cast("long").alias("seq"))
 
 
+def q_sessionize(spark, sf):
+    """Gap-based sessionization: a new session starts after a >30min
+    gap; session id = cumulative count of session starts per user.
+    Classic lag + running-sum window composition."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("_ns", new_sess)
+        .withColumn(
+            "session_no",
+            F.sum("_ns").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .select("event_id", "user_id",
+                F.col("session_no").cast("long").alias("session_no"))
+    )
+
+
+def q_lead_lag(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+def q_rolling_cents(spark, sf):
+    """Rolling 3-row sum (frame-spec window) over integer cents —
+    integer frame sums are order-deterministic cross-engine."""
+    ev = _t(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, 0))
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(cents).over(w).alias("rolling_cents"),
+    )
+
+
+def q_rollup_counts(spark, sf):
+    """GROUP BY ROLLUP (grouping-sets family)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_median_price(spark, sf):
+    """Continuous percentile per group, floor-micros for stability."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.floor(
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+            * 100
+        ).cast("long").alias("median_cents")
+    )
+
+
+def q_status_intersect(spark, sf):
+    """INTERSECT set op: customers with both F and O orders."""
+    o = _t(spark, sf, "orders")
+    f_ = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")).distinct()
+    o_ = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")).distinct()
+    return f_.intersect(o_)
+
+
+def q_status_except(spark, sf):
+    """EXCEPT set op: customers with F orders but no O orders."""
+    o = _t(spark, sf, "orders")
+    f_ = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")).distinct()
+    o_ = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")).distinct()
+    return f_.exceptAll(o_).distinct()
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries (non-SQL-expressible -> rows-only driver check)
 # ---------------------------------------------------------------------------
@@ -718,6 +805,52 @@ SELECT event_id, user_id,
        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
 FROM events
 """,
+    "q_sessionize": """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+         THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id,
+  CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+  AS session_no
+FROM g
+""",
+    "q_lead_lag": """
+SELECT event_id, user_id, event_type,
+  lag(event_type) OVER w AS prev_type,
+  lead(event_type) OVER w AS next_type
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    "q_rolling_cents": """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_cents
+FROM events
+""",
+    "q_rollup_counts": """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    "q_median_price": """
+SELECT o_orderstatus,
+  CAST(floor(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT)
+  AS median_cents
+FROM orders GROUP BY o_orderstatus
+""",
+    "q_status_intersect": """
+SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+""",
+    "q_status_except": """
+SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+""",
 }
 
 
@@ -756,6 +889,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_hourly": q_events_hourly,
     "q_events_json": q_events_json,
     "q_user_event_seq": q_user_event_seq,
+    "q_sessionize": q_sessionize,
+    "q_lead_lag": q_lead_lag,
+    "q_rolling_cents": q_rolling_cents,
+    "q_rollup_counts": q_rollup_counts,
+    "q_median_price": q_median_price,
+    "q_status_intersect": q_status_intersect,
+    "q_status_except": q_status_except,
     # non-SQL-expressible (rows-only driver check)
     "kg_triples": kg_triples,
     "kg_hybrid_search": kg_hybrid_search,

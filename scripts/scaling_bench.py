@@ -81,9 +81,11 @@ def main() -> int:
 
     zpath = make_zip()
     factor = cores_b // cores_a
-    # the sandbox host is shared/noisy: interleave legs, keep best-of-3
+    # the sandbox host is shared/noisy: interleave legs, keep the best
+    # (least noise-contaminated) run per leg
+    repeats = int(os.environ.get("SCALE_REPEATS", "3"))
     runs_a, runs_b = [], []
-    for _ in range(3):
+    for _ in range(repeats):
         runs_a.append(run_once(cores_a, pages_path, zpath))
         runs_b.append(run_once(cores_b, pages_path, zpath))
     r8 = min(runs_a, key=lambda r: r["pipeline_sec"])
