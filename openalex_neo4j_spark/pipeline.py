@@ -260,7 +260,8 @@ def build_triples(nodes: dict[str, DataFrame], edges: DataFrame) -> DataFrame:
     return out.dropDuplicates(["subj", "pred", "obj"])
 
 
-def build_graph(pages: DataFrame, skip_abstracts: bool = False) -> GraphTables:
+def build_graph(pages: DataFrame, skip_abstracts: bool = False,
+                generate_embeddings: bool = False) -> GraphTables:
     # checkpoint: the Arrow-parse stage feeds both the group aggregation
     # and the final mention join — materialize it exactly once
     mentions = mentions_from_pages(pages).localCheckpoint()
@@ -268,10 +269,12 @@ def build_graph(pages: DataFrame, skip_abstracts: bool = False) -> GraphTables:
     if skip_abstracts:
         # P10 (importer.py:73-77): drop abstracts behind a config flag
         linked = linked.withColumn("abstract", F.lit(None).cast("string"))
-    return build_graph_from_linked(linked.localCheckpoint())
+    return build_graph_from_linked(linked.localCheckpoint(),
+                                   generate_embeddings=generate_embeddings)
 
 
-def build_graph_from_linked(linked: DataFrame) -> GraphTables:
+def build_graph_from_linked(linked: DataFrame,
+                            generate_embeddings: bool = False) -> GraphTables:
     nodes = {
         "Work": work_nodes(linked),
         "Author": author_nodes(linked),
@@ -281,6 +284,15 @@ def build_graph_from_linked(linked: DataFrame) -> GraphTables:
         "Funder": _named_nodes(linked, "funders", "funder"),
         "Publisher": publisher_nodes(linked),
     }
+    if generate_embeddings:
+        # optional embedding step (M4, importer.py:79-81, 350-374):
+        # the driver-side loop becomes a vectorized column application;
+        # materialized once on the node table, reused by search
+        from openalex_neo4j_spark.search import (embed_text_column,
+                                                 work_embedding_text)
+        nodes["Work"] = embed_text_column(
+            work_embedding_text(nodes["Work"]), "_embed_text"
+        ).drop("_embed_text")
     edges = build_edges(linked, nodes["Work"])
     triples = build_triples(nodes, edges)
     return GraphTables(nodes=nodes, edges=edges, triples=triples,

@@ -277,7 +277,12 @@ def hybrid_search(query: str, nodes: dict[str, DataFrame], edges: DataFrame,
                   fulltext_weight: float = 1.0) -> DataFrame:
     """Full reference-search-parity flow (search.py:43-84)."""
     works = work_embedding_text(nodes["Work"])
-    embedded = embed_text_column(works, "_embed_text")
+    if "embedding" in nodes["Work"].columns:
+        # reuse embeddings materialized at import time (M4) — the
+        # vector index analog: no re-encoding per query
+        embedded = works
+    else:
+        embedded = embed_text_column(works, "_embed_text")
     qvec = _hash_embed_one(query)
     vec_leg = vector_topk(embedded, qvec, limit * OVERFETCH)
     index = build_fulltext_index(

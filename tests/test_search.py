@@ -106,6 +106,24 @@ class TestFulltextLeg:
         assert fulltext_topk(idx, "", 5).count() == 0
 
 
+class TestMaterializedEmbeddings:
+    def test_import_time_embeddings_and_reuse(self, spark, small_world):
+        """M4 parity (importer.py:79-81): embeddings generated at
+        import time live on the Work node table (384-dim contract) and
+        hybrid_search reuses them instead of re-encoding."""
+        from openalex_neo4j_spark.corpus import pages_dataframe
+        from openalex_neo4j_spark.pipeline import build_graph
+
+        g = build_graph(pages_dataframe(spark, small_world),
+                        generate_embeddings=True)
+        row = g.nodes["Work"].select("embedding").first()
+        assert row["embedding"] is not None and len(row["embedding"]) == EMBED_DIM
+        w = next(w for w in small_world.works.values() if w.has_canonical)
+        res = hybrid_search(w.title + " " + w.abstract[:100],
+                            g.nodes, g.edges, limit=3)
+        assert res.count() > 0
+
+
 class TestHybridSearch:
     def test_end_to_end(self, spark, small_world, small_graph):
         # query = title + abstract prefix of a known work: must surface
