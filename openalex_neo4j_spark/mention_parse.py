@@ -18,9 +18,12 @@ import re
 
 from openalex_neo4j_spark.textnorm import normalize_title
 
-_META_RE = re.compile(
-    r'<meta\s+name="(citation_[a-z_]+)"\s+content="([^"]*)"\s*/?>',
-    re.IGNORECASE,
+# Tolerant of real-web variance: attribute order (name/content in
+# either order), single or double quotes, extra attributes, arbitrary
+# intra-tag whitespace, self-closing slash.
+_META_TAG_RE = re.compile(r"<meta\b([^>]*)>", re.IGNORECASE)
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*("([^"]*)"|'([^']*)')""",
 )
 
 _INT_RE = re.compile(r"^\d+$")
@@ -34,8 +37,18 @@ def parse_meta(html: bytes | str | None) -> dict[str, list[str]]:
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", errors="replace")
     out: dict[str, list[str]] = {}
-    for name, content in _META_RE.findall(html):
-        out.setdefault(name.lower(), []).append(content)
+    for attrs_blob in _META_TAG_RE.findall(html):
+        name = None
+        content = None
+        for attr, _q, dq, sq in _ATTR_RE.findall(attrs_blob):
+            val = dq if dq or _q.startswith('"') else sq
+            a = attr.lower()
+            if a == "name":
+                name = val.lower()
+            elif a == "content":
+                content = val
+        if name and name.startswith("citation_") and content is not None:
+            out.setdefault(name, []).append(content)
     return out
 
 

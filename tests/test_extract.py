@@ -57,6 +57,26 @@ def test_parse_mention_author_orcid_zip():
     assert m["authors"][1] == {"display_name": "Bob Roe", "orcid": None}
 
 
+def test_parse_meta_real_web_variance():
+    """Attribute order, quote style, extra attributes, whitespace —
+    the shapes real crawl HTML actually has."""
+    from openalex_neo4j_spark.mention_parse import parse_meta
+
+    html = (
+        b"<meta content=\"Reversed Order\" name=\"citation_title\">"
+        b"<meta name='citation_author' content='Single Quotes'/>"
+        b'<meta data-x="1" name="CITATION_DOI" class="m" content="10.1/x" >'
+        b'<meta\n  name="citation_year"\n  content="2001"\n/>'
+        b'<meta name="description" content="not citation">'
+    )
+    got = parse_meta(html)
+    assert got["citation_title"] == ["Reversed Order"]
+    assert got["citation_author"] == ["Single Quotes"]
+    assert got["citation_doi"] == ["10.1/x"]
+    assert got["citation_year"] == ["2001"]
+    assert "description" not in got
+
+
 def test_html_column_pruned_from_mentions(spark, small_world):
     """The binary column must not survive past the mention stage."""
     pages = pages_dataframe(spark, small_world)
