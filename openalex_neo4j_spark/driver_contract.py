@@ -477,6 +477,34 @@ def q_status_intersect(spark, sf):
     return f_.intersect(o_)
 
 
+def q_asof_join(spark, sf):
+    """As-of join (operators/temporal.py): each non-signup event gets
+    the user's most recent at-or-before signup timestamp."""
+    from openalex_neo4j_spark.operators.temporal import asof_join
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event"))
+    out = asof_join(clicks, signups, on="user_id",
+                    right_cols=["signup_event"])
+    return out.select("event_id", "user_id",
+                      F.col("asof_signup_event").alias("signup_event"))
+
+
+def q_range_join(spark, sf):
+    """Range join (operators/temporal.py): bucket event values into
+    fixed bands via a broadcast interval table."""
+    from openalex_neo4j_spark.operators.temporal import range_join
+    ev = _t(spark, sf, "events")
+    bands = spark.createDataFrame(
+        [(float(i * 50), float((i + 1) * 50), f"band{i}") for i in range(10)],
+        ["lo", "hi", "band"],
+    )
+    return range_join(ev.select("event_id", "value"), bands, "value").select(
+        "event_id", "band")
+
+
 def q_status_except(spark, sf):
     """EXCEPT set op: customers with F orders but no O orders."""
     o = _t(spark, sf, "orders")
@@ -851,6 +879,22 @@ SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
 EXCEPT
 SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
 """,
+    "q_asof_join": """
+SELECT c.event_id, c.user_id, s.signup_event
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type <> 'signup') c
+ASOF LEFT JOIN (SELECT user_id, ts, event_id AS signup_event FROM events
+                WHERE event_type = 'signup') s
+  ON c.user_id = s.user_id AND c.ts >= s.ts
+""",
+    "q_range_join": """
+WITH bands AS (
+  SELECT i * 50.0 AS lo, (i + 1) * 50.0 AS hi,
+         'band' || CAST(i AS VARCHAR) AS band
+  FROM (SELECT UNNEST(generate_series(0, 9)) AS i))
+SELECT event_id, band
+FROM events LEFT JOIN bands ON value >= lo AND value < hi
+""",
 }
 
 
@@ -896,6 +940,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_median_price": q_median_price,
     "q_status_intersect": q_status_intersect,
     "q_status_except": q_status_except,
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
     # non-SQL-expressible (rows-only driver check)
     "kg_triples": kg_triples,
     "kg_hybrid_search": kg_hybrid_search,
