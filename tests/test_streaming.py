@@ -41,6 +41,35 @@ def test_stream_ingest_drains_and_records_lineage(spark, pages_dir,
     assert spark.read.parquet(f"{out}/mentions_stream").count() == scholarly
 
 
+def test_stateful_host_sessions(spark, pages_dir, tmp_path_factory):
+    """applyInPandasWithState custom operator: per-host session state
+    accumulates across the drained batch."""
+    from openalex_neo4j_spark.streaming.stateful import host_sessions
+
+    d, world = pages_dir
+    stream = pages_stream(spark, d)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_state"))
+    q = (
+        host_sessions(stream)
+        .writeStream.format("memory").queryName("host_sessions")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select host, max(pages) as pages from host_sessions group by host"
+    ).collect()
+    got = {r["host"]: r["pages"] for r in rows}
+    from collections import Counter
+    want = Counter()
+    for p in world.pages:
+        host = p.url.split("//")[1].split("/")[0]
+        want[host] += 1
+    assert got == dict(want)
+
+
 def test_windowed_crawl_stats(spark, pages_dir, tmp_path_factory):
     d, world = pages_dir
     stats = crawl_stats_stream(pages_stream(spark, d), window="1 hour")
