@@ -526,6 +526,18 @@ def kg_triples(spark, sf):
     return build_graph(pages_dataframe(spark, world)).triples
 
 
+def kg_citation_rank(spark, sf):
+    """Iterative graph algorithm (non-SQL-expressible fixpoint):
+    PageRank-style citation rank over the built CITES subgraph."""
+    from openalex_neo4j_spark.corpus import build_world, pages_dataframe
+    from openalex_neo4j_spark.operators.graphalgo import citation_rank
+    from openalex_neo4j_spark.pipeline import build_graph
+    world = build_world(120, seed=42)
+    g = build_graph(pages_dataframe(spark, world))
+    return citation_rank(g.edges, iterations=5).orderBy(
+        F.col("rank").desc(), "id").limit(20)
+
+
 def kg_hybrid_search(spark, sf):
     from openalex_neo4j_spark.corpus import build_world, pages_dataframe
     from openalex_neo4j_spark.pipeline import build_graph
@@ -945,4 +957,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # non-SQL-expressible (rows-only driver check)
     "kg_triples": kg_triples,
     "kg_hybrid_search": kg_hybrid_search,
+    "kg_citation_rank": kg_citation_rank,
 }

@@ -65,6 +65,34 @@ def _write(df: DataFrame, path: str, partition_by: list[str] | None = None) -> i
     return -1  # caller counts from the written table to avoid recompute
 
 
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   num_buckets: int = 16) -> None:
+    """Bucketed + sorted table write: joins/aggregations on ``key``
+    between co-bucketed tables need no exchange (the warehouse analog
+    of pre-partitioning for repeated co-located joins — SURVEY §4).
+
+    Uses the session catalog (saveAsTable); on Iceberg this maps to a
+    bucket partition transform."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a stale managed location without catalog metadata (e.g. from a
+    # previous session) blocks re-creation — clear it
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        wh = wh[5:]
+    if wh:
+        shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def write_graph(g: GraphTables, root: str) -> dict[str, int]:
     """Write all tables; return row counts (A7 import-count report,
     importer.py:95-98 / cli.py:159-181)."""

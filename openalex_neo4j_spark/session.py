@@ -39,6 +39,8 @@ def get_spark(
         .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark-warehouse"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
