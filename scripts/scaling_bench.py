@@ -120,7 +120,9 @@ linear). Speedup {thr32 / thr8:.2f}x on {factor}x cores.
     open(os.path.join(REPO, "BASELINE.md"), "w").write(base.rstrip() + "\n\n" + md)
     bench_dir = os.path.join(REPO, "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
-    open(os.path.join(bench_dir, "BASELINE.md"), "w").write(md)
+    # raw latest-run table only; the curated analysis lives in
+    # BENCH/BASELINE.md (maintained by hand — do not overwrite)
+    open(os.path.join(bench_dir, "SCALING_LATEST.md"), "w").write(md)
     print(json.dumps({"thr8": round(thr8, 1), "thr32": round(thr32, 1),
                       "efficiency": round(eff, 3)}))
     return 0
