@@ -6,9 +6,10 @@ search.py:43-84) over /root/testdata/sf0.001.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
 from SURVEY.md §2 plus the training-data operator family; oracles are
-DuckDB SQL over the same parquet views. KG-pipeline queries
-(kg_triples, kg_hybrid_search) are non-SQL-expressible and carry no
-oracle (rows-only check).
+DuckDB SQL over the same parquet views. The KG-pipeline queries
+(kg_triples, kg_hybrid_search, kg_citation_rank) are scored against
+plain-Python-oracle outputs materialized as parquet (kg_oracle.py) —
+every contract row carries a real DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -45,5 +46,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from openalex_neo4j_spark.driver_contract import ORACLE_SQL
+    from openalex_neo4j_spark.kg_oracle import kg_oracle_sql
 
-    return dict(ORACLE_SQL)
+    out = dict(ORACLE_SQL)
+    # kg_* oracles: plain-Python-oracle outputs materialized as parquet
+    # (deterministic; written on first call), read by DuckDB directly
+    out.update(kg_oracle_sql())
+    return out

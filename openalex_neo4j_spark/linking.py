@@ -108,11 +108,18 @@ def _minhash_bands(titles: DataFrame, extra_cols: list[str] | None = None
     )
 
 
-def _tfidf_weights(titles: DataFrame) -> DataFrame:
+def _tfidf_weights(titles: DataFrame,
+                   only_tids: DataFrame | None = None) -> DataFrame:
     """(tid, tok, w, nrm): TF-IDF weights over distinct group titles.
 
     Input: (tid, t). Tokens are hashed to longs as well, so the
-    downstream scoring joins shuffle only fixed-width values."""
+    downstream scoring joins shuffle only fixed-width values.
+
+    ``only_tids``: document frequencies stay GLOBAL (corpus-wide IDF
+    semantics), but per-doc weights/norms are computed only for the
+    named tids — the candidate set is orders of magnitude smaller than
+    the corpus, so the idf-join + norm aggregation shrink accordingly.
+    """
     tf = (
         titles.select(
             "tid",
@@ -124,7 +131,10 @@ def _tfidf_weights(titles: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     n_docs = titles.count()
-    df_tok = tf.groupBy("tok").agg(F.countDistinct("tid").alias("df"))
+    # tf rows are unique on (tid, tok) — plain count IS the doc freq
+    df_tok = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    if only_tids is not None:
+        tf = tf.join(only_tids, "tid", "left_semi")
     w = tf.join(df_tok, "tok").withColumn(
         "w",
         F.col("tf")
@@ -211,8 +221,8 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
             .distinct()
         )
         weights = _tfidf_weights(
-            grp.select(F.col("tid"), F.col("norm_title").alias("t")))
-        weights = weights.join(cand_tids, "tid", "left_semi")
+            grp.select(F.col("tid"), F.col("norm_title").alias("t")),
+            only_tids=cand_tids)
         wa = weights.select(F.col("tid").alias("ta"), "tok",
                             F.col("w").alias("w_a"), F.col("nrm").alias("n_a"))
         wb = weights.select(F.col("tid").alias("tb"), "tok",
@@ -243,8 +253,13 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
         # component id is an arbitrary-but-deterministic representative
         # tid; semantic cluster ids below come from canon_key /
         # norm_title minima, never from the component id itself.
-        if not fuzzy_edges.isEmpty():
-            comp_map = connected_components_auto(fuzzy_edges).select(
+        # One count decides both the empty-check and the CC strategy —
+        # no separate isEmpty job.
+        n_fuzzy = fuzzy_edges.count()
+        if n_fuzzy > 0:
+            comp_map = connected_components_auto(
+                fuzzy_edges, n_edges=n_fuzzy
+            ).select(
                 F.col("node").cast("long").alias("tid"), F.col("component"))
 
     if comp_map is not None:

@@ -19,11 +19,37 @@ would do on Iceberg — swap `_write` to switch).
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from openalex_neo4j_spark.pipeline import GraphTables
+
+
+def _recover_table(path: str) -> None:
+    """If a previous commit crashed between the two renames (live dir
+    moved aside, staged dir not yet promoted), restore the backup."""
+    if not os.path.exists(path):
+        for d in sorted(os.listdir(os.path.dirname(path) or ".")):
+            full = os.path.join(os.path.dirname(path) or ".", d)
+            if full.startswith(f"{path}.bak-"):
+                os.rename(full, path)
+                return
+
+
+def _commit_table(staged: str, path: str) -> None:
+    """Atomic-enough promote on a posix fs: each rename is atomic, and
+    at every intermediate point either ``path`` or a ``.bak`` sibling
+    holds the complete previous table (recovered by ``_recover_table``).
+    The Iceberg analog is the snapshot-pointer swap of ``MERGE INTO``."""
+    bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, bak)
+    os.rename(staged, path)
+    shutil.rmtree(bak, ignore_errors=True)
 
 
 def upsert_nodes(spark: SparkSession, path: str, new_df: DataFrame,
@@ -35,10 +61,12 @@ def upsert_nodes(spark: SparkSession, path: str, new_df: DataFrame,
 
     Parquet stand-in for Iceberg ``MERGE INTO … WHEN MATCHED THEN
     UPDATE SET * WHEN NOT MATCHED THEN INSERT *``: union old+new with
-    a precedence column, keep the newest row per key, rewrite. On
-    Iceberg this is a single MERGE INTO statement; the semantics here
-    are identical.
+    a precedence column, keep the newest row per key, write the merged
+    table to a staging dir, then rename-commit — a crash at any point
+    leaves the previous table readable (kill-test in
+    tests/test_import_query.py).
     """
+    _recover_table(path)
     try:
         old = spark.read.parquet(path).withColumn("_gen", F.lit(0))
     except Exception:
@@ -51,9 +79,11 @@ def upsert_nodes(spark: SparkSession, path: str, new_df: DataFrame,
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_gen")
     )
-    # materialize before overwriting the input path
-    result = result.localCheckpoint()
-    result.write.mode("overwrite").parquet(path)
+    staged = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    # the staged write reads the old table lazily — the live dir is
+    # untouched until the rename below
+    result.write.mode("overwrite").parquet(staged)
+    _commit_table(staged, path)
     return spark.read.parquet(path)
 
 
@@ -93,9 +123,18 @@ def write_bucketed(df: DataFrame, table: str, key: str,
     )
 
 
-def write_graph(g: GraphTables, root: str) -> dict[str, int]:
+def write_graph(g: GraphTables, root: str,
+                with_search_indexes: bool = False) -> dict[str, int]:
     """Write all tables; return row counts (A7 import-count report,
-    importer.py:95-98 / cli.py:159-181)."""
+    importer.py:95-98 / cli.py:159-181).
+
+    ``with_search_indexes=True`` additionally materializes the fulltext
+    inverted index over the written Work table (``index_fulltext``) —
+    the import-time DDL analog of the reference's fulltext/vector index
+    creation (neo4j_client.py:134-144, 191-207; importer step 5). The
+    search path then reads the stored index instead of rebuilding it
+    per query.
+    """
     spark = g.edges.sparkSession
     counts: dict[str, int] = {}
     t0 = time.time()
@@ -107,6 +146,13 @@ def write_graph(g: GraphTables, root: str) -> dict[str, int]:
     counts["edges"] = spark.read.parquet(f"{root}/edges").count()
     _write(g.triples, f"{root}/triples", partition_by=["pred"])
     counts["triples"] = spark.read.parquet(f"{root}/triples").count()
+    if with_search_indexes:
+        from openalex_neo4j_spark.search import work_fulltext_index
+
+        works_stored = spark.read.parquet(f"{root}/nodes_work")
+        _write(work_fulltext_index(works_stored), f"{root}/index_fulltext")
+        counts["index_fulltext"] = spark.read.parquet(
+            f"{root}/index_fulltext").count()
 
     # lineage/metrics rows (north rule): one row per stage with wall
     # time and output counts

@@ -22,8 +22,10 @@ from pyspark.sql import DataFrame, functions as F
 
 # Below this edge count the component graph fits comfortably on the
 # driver and a local union-find beats 2 shuffles/iteration of the
-# distributed loop by an order of magnitude in wall time.
-DRIVER_CC_MAX_EDGES = 2_000_000
+# distributed loop by an order of magnitude in wall time. 250k string
+# pairs is tens of MB collected — conservative against wide ids; above
+# it the distributed hash-to-min loop takes over.
+DRIVER_CC_MAX_EDGES = 250_000
 
 
 def driver_union_find(edge_rows: list[tuple[str, str]]) -> list[tuple[str, str]]:
@@ -51,12 +53,14 @@ def driver_union_find(edge_rows: list[tuple[str, str]]) -> list[tuple[str, str]]
 def connected_components_auto(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     max_driver_edges: int = DRIVER_CC_MAX_EDGES,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Size-guarded CC: contracted match graphs are usually tiny
     relative to the corpus (groups, not mentions), so count the edges
     cheaply and collect+union-find under the threshold; fall back to
-    the distributed hash-to-min loop above it."""
-    n = edges.count()
+    the distributed hash-to-min loop above it. Pass ``n_edges`` when
+    the caller already counted (skips one job)."""
+    n = edges.count() if n_edges is None else n_edges
     if n <= max_driver_edges:
         rows = [(r[src], r[dst]) for r in edges.collect()]
         spark = edges.sparkSession

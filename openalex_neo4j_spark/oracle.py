@@ -158,6 +158,55 @@ def oracle_triples(world: World) -> set[Triple]:
             "PUBLISHED_BY",
             ids.publisher_id(world.publishers[s.publisher_id]),
         ))
+
+    # --- derived count properties (mirrors pipeline.enrich_node_counts;
+    # reference models persist works_count / cited_by_count —
+    # models.py:23-41, 168-175, 203-211, 241-250, 317-323). Derived from
+    # the final edge set, exactly like the pipeline derives them.
+    cites_in: dict[str, int] = {}
+    authored_pairs: set[tuple[str, str]] = set()
+    pub_in_pairs: set[tuple[str, str]] = set()
+    pub_by: dict[str, str] = {}
+    labels: dict[str, set[str]] = {}
+    for s, p, o in triples:
+        if p == "CITES":
+            cites_in[o] = cites_in.get(o, 0) + 1
+        elif p == "AUTHORED":
+            authored_pairs.add((s, o))
+        elif p == "PUBLISHED_IN":
+            pub_in_pairs.add((s, o))
+        elif p == "PUBLISHED_BY":
+            pub_by[s] = o
+        elif p == "label":
+            labels.setdefault(o, set()).add(s)
+    for wid in labels.get("Work", ()):
+        triples.add((wid, "cited_by_count", str(cites_in.get(wid, 0))))
+    a_works: dict[str, int] = {}
+    a_cited: dict[str, int] = {}
+    for a, w_ in authored_pairs:
+        a_works[a] = a_works.get(a, 0) + 1
+        a_cited[a] = a_cited.get(a, 0) + cites_in.get(w_, 0)
+    for aid in labels.get("Author", ()):
+        triples.add((aid, "works_count", str(a_works.get(aid, 0))))
+        triples.add((aid, "cited_by_count", str(a_cited.get(aid, 0))))
+    inst_works: dict[str, int] = {}
+    for w in world.works.values():
+        for i in set(w.institution_ids):
+            iid = ids.institution_id(world.institutions[i].ror)
+            inst_works[iid] = inst_works.get(iid, 0) + 1
+    for iid in labels.get("Institution", ()):
+        triples.add((iid, "works_count", str(inst_works.get(iid, 0))))
+    src_works: dict[str, int] = {}
+    p_works: dict[str, int] = {}
+    for w_, s_ in pub_in_pairs:
+        src_works[s_] = src_works.get(s_, 0) + 1
+        pub = pub_by.get(s_)
+        if pub is not None:
+            p_works[pub] = p_works.get(pub, 0) + 1
+    for sid in labels.get("Source", ()):
+        triples.add((sid, "works_count", str(src_works.get(sid, 0))))
+    for pid in labels.get("Publisher", ()):
+        triples.add((pid, "works_count", str(p_works.get(pid, 0))))
     return triples
 
 

@@ -220,6 +220,89 @@ def build_edges(linked: DataFrame, works: DataFrame) -> DataFrame:
     return all_edges.dropDuplicates(["subj", "pred", "obj"])
 
 
+def enrich_node_counts(nodes: dict[str, DataFrame], edges: DataFrame,
+                       linked: DataFrame) -> dict[str, DataFrame]:
+    """Derived count properties (round-1 verdict item 5; reference
+    dataclasses persist them — models.py:168-175, 203-211, 241-250,
+    317-323, and the README's most-cited queries want them,
+    README.md:288-340):
+
+    - Work.cited_by_count    = CITES in-degree
+    - Author.works_count     = AUTHORED out-degree
+    - Author.cited_by_count  = sum of authored works' cited_by_count
+    - Institution.works_count = distinct works mentioning the
+      institution (from linked mentions — the AFFILIATED_WITH edge
+      carries authors, not works)
+    - Source.works_count     = PUBLISHED_IN in-degree
+    - Publisher.works_count  = distinct works across its sources
+
+    Each is one groupBy over an edge slice (map-side partial agg,
+    fixed-width keys) followed by a left join back to the (much
+    smaller) node table — broadcast-friendly at any scale."""
+    cites_in = (
+        edges.filter(F.col("pred") == "CITES")
+        .groupBy(F.col("obj").alias("id"))
+        .agg(F.count("*").alias("_cited"))
+    )
+    work = nodes["Work"].join(cites_in, "id", "left").withColumn(
+        "cited_by_count", F.coalesce(F.col("_cited"), F.lit(0))
+    ).drop("_cited")
+
+    authored = edges.filter(F.col("pred") == "AUTHORED").select(
+        F.col("subj").alias("author_id"), F.col("obj").alias("work_id"))
+    a_works = authored.groupBy(F.col("author_id").alias("id")).agg(
+        F.count("*").alias("works_count"))
+    a_cited = (
+        authored.join(
+            work.select(F.col("id").alias("work_id"), "cited_by_count"),
+            "work_id", "left")
+        .groupBy(F.col("author_id").alias("id"))
+        .agg(F.sum(F.coalesce(F.col("cited_by_count"), F.lit(0)))
+             .alias("cited_by_count"))
+    )
+    author = (
+        nodes["Author"].join(a_works, "id", "left").join(a_cited, "id", "left")
+        .withColumn("works_count", F.coalesce("works_count", F.lit(0)))
+        .withColumn("cited_by_count",
+                    F.coalesce("cited_by_count", F.lit(0)))
+    )
+
+    inst_key = F.concat(
+        F.lit("ror:"), F.element_at(F.split(F.trim(F.col("i.ror")), "/"), -1))
+    inst_works = (
+        linked.select("work_key", F.explode("institutions").alias("i"))
+        .filter(F.col("i.ror").isNotNull() & (F.trim(F.col("i.ror")) != ""))
+        .select("work_key", inst_key.alias("id"))
+        .distinct()
+        .groupBy("id").agg(F.count("*").alias("works_count"))
+    )
+    institution = nodes["Institution"].join(inst_works, "id", "left").withColumn(
+        "works_count", F.coalesce("works_count", F.lit(0)))
+
+    pub_in = edges.filter(F.col("pred") == "PUBLISHED_IN").select(
+        F.col("subj").alias("work_id"), F.col("obj").alias("source_id"))
+    s_works = pub_in.groupBy(F.col("source_id").alias("id")).agg(
+        F.count("*").alias("works_count"))
+    source = nodes["Source"].join(s_works, "id", "left").withColumn(
+        "works_count", F.coalesce("works_count", F.lit(0)))
+
+    pub_by = edges.filter(F.col("pred") == "PUBLISHED_BY").select(
+        F.col("subj").alias("source_id"), F.col("obj").alias("publisher_id"))
+    p_works = (
+        pub_in.join(pub_by, "source_id")
+        .select("work_id", "publisher_id").distinct()
+        .groupBy(F.col("publisher_id").alias("id"))
+        .agg(F.count("*").alias("works_count"))
+    )
+    publisher = nodes["Publisher"].join(p_works, "id", "left").withColumn(
+        "works_count", F.coalesce("works_count", F.lit(0)))
+
+    out = dict(nodes)
+    out.update({"Work": work, "Author": author, "Institution": institution,
+                "Source": source, "Publisher": publisher})
+    return out
+
+
 def _prop_triples(df: DataFrame, props: list[str]) -> DataFrame:
     parts = []
     for p in props:
@@ -239,13 +322,14 @@ def _prop_triples(df: DataFrame, props: list[str]) -> DataFrame:
 def build_triples(nodes: dict[str, DataFrame], edges: DataFrame) -> DataFrame:
     """triples = edges ∪ node-property triples ∪ (id, label, <Type>)."""
     prop_map = {
-        "Work": ["title", "publication_year", "type", "type_label"],
-        "Author": ["display_name"],
-        "Institution": ["display_name", "country_code"],
-        "Source": ["display_name"],
+        "Work": ["title", "publication_year", "type", "type_label",
+                 "cited_by_count"],
+        "Author": ["display_name", "works_count", "cited_by_count"],
+        "Institution": ["display_name", "country_code", "works_count"],
+        "Source": ["display_name", "works_count"],
         "Topic": ["display_name"],
         "Funder": ["display_name"],
-        "Publisher": ["display_name"],
+        "Publisher": ["display_name", "works_count"],
     }
     parts = [edges]
     for label, df in nodes.items():
@@ -253,7 +337,9 @@ def build_triples(nodes: dict[str, DataFrame], edges: DataFrame) -> DataFrame:
             df.select(F.col("id").alias("subj"), F.lit("label").alias("pred"),
                       F.lit(label).alias("obj"))
         )
-        parts.append(_prop_triples(df, prop_map[label]))
+        # derived-count props appear only on enriched node tables
+        parts.append(_prop_triples(
+            df, [p for p in prop_map[label] if p in df.columns]))
     out = parts[0]
     for x in parts[1:]:
         out = out.unionByName(x)
@@ -294,6 +380,7 @@ def build_graph_from_linked(linked: DataFrame,
             work_embedding_text(nodes["Work"]), "_embed_text"
         ).drop("_embed_text")
     edges = build_edges(linked, nodes["Work"])
+    nodes = enrich_node_counts(nodes, edges, linked)
     triples = build_triples(nodes, edges)
     return GraphTables(nodes=nodes, edges=edges, triples=triples,
                        mentions=linked)

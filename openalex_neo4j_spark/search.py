@@ -112,11 +112,18 @@ def cosine_expr(vec_col, query: list[float]):
 
 
 def vector_topk(df: DataFrame, query: list[float], k: int,
-                id_col: str = "id", vec_col: str = "embedding") -> DataFrame:
-    """Exact cosine top-k (TakeOrderedAndProject — no full sort)."""
+                id_col: str = "id", vec_col: str = "embedding",
+                round_dp: int | None = None) -> DataFrame:
+    """Exact cosine top-k (TakeOrderedAndProject — no full sort).
+
+    ``round_dp``: half-even round scores before the ordering/cut so the
+    ranking is reproducible across engines (used by the kg_hybrid
+    oracle contract)."""
+    score = cosine_expr(F.col(vec_col), query)
+    if round_dp is not None:
+        score = F.bround(score, round_dp)
     return (
-        df.select(F.col(id_col).alias("id"),
-                  cosine_expr(F.col(vec_col), query).alias("score"))
+        df.select(F.col(id_col).alias("id"), score.alias("score"))
         .filter(F.col("score").isNotNull())
         .orderBy(F.col("score").desc(), F.col("id"))
         .limit(k)
@@ -159,20 +166,40 @@ def build_fulltext_index(df: DataFrame, id_col: str = "id",
     )
 
 
-def fulltext_topk(index: DataFrame, query: str, k: int) -> DataFrame:
+def work_fulltext_index(works: DataFrame) -> DataFrame:
+    """The Work-table fulltext index (title + abstract), built ONCE at
+    import time and persisted next to the node tables
+    (materialize.write_graph) — the D2 analog of the reference's
+    ``CREATE FULLTEXT INDEX work_fulltext`` (neo4j_client.py:134-144).
+    The query path never rebuilds it."""
+    return build_fulltext_index(
+        works.withColumn(
+            "_ft_text",
+            F.concat_ws(" ", F.col("title"), F.coalesce("abstract", F.lit(""))),
+        ),
+        "id", "_ft_text",
+    )
+
+
+def fulltext_topk(index: DataFrame, query: str, k: int,
+                  round_dp: int | None = None) -> DataFrame:
     """Score = sum of index weights over query terms (plain-text query
     only, like the reference CLI — cli.py:309-315). The per-term join
-    is a broadcast of the tiny query-term list."""
+    is a broadcast of the tiny query-term list. ``round_dp`` rounds the
+    (addition-order-dependent) sum before the ordering/cut."""
     terms = sorted({t for t in
                     query.lower().replace(",", " ").split() if t})
     if not terms:
         return index.sparkSession.createDataFrame([], "id string, score double")
     spark = index.sparkSession
     qdf = spark.createDataFrame([(t,) for t in terms], ["tok"])
+    score = F.sum("weight")
+    if round_dp is not None:
+        score = F.bround(score, round_dp)
     return (
         index.join(F.broadcast(qdf), "tok")
         .groupBy("id")
-        .agg(F.sum("weight").alias("score"))
+        .agg(score.alias("score"))
         .orderBy(F.col("score").desc(), F.col("id"))
         .limit(k)
     )
@@ -274,8 +301,18 @@ def hydrate_works(result_ids: DataFrame, nodes: dict[str, DataFrame],
 def hybrid_search(query: str, nodes: dict[str, DataFrame], edges: DataFrame,
                   limit: int = 10, rrf_k: int = RRF_K,
                   vector_weight: float = 1.0,
-                  fulltext_weight: float = 1.0) -> DataFrame:
-    """Full reference-search-parity flow (search.py:43-84)."""
+                  fulltext_weight: float = 1.0,
+                  index: DataFrame | None = None,
+                  score_round: int | None = None) -> DataFrame:
+    """Full reference-search-parity flow (search.py:43-84).
+
+    ``index``: the persisted fulltext index table (work_fulltext_index
+    materialized at import — D2). When omitted, it is built ad hoc —
+    acceptable for one-off exploration only; production query paths
+    (scripts/kg.py search, kg_hybrid_search) always pass the stored
+    table, because rebuilding means a full corpus scan + two
+    aggregations per query.
+    """
     works = work_embedding_text(nodes["Work"])
     if "embedding" in nodes["Work"].columns:
         # reuse embeddings materialized at import time (M4) — the
@@ -284,15 +321,12 @@ def hybrid_search(query: str, nodes: dict[str, DataFrame], edges: DataFrame,
     else:
         embedded = embed_text_column(works, "_embed_text")
     qvec = _hash_embed_one(query)
-    vec_leg = vector_topk(embedded, qvec, limit * OVERFETCH)
-    index = build_fulltext_index(
-        works.withColumn(
-            "_ft_text",
-            F.concat_ws(" ", F.col("title"), F.coalesce("abstract", F.lit(""))),
-        ),
-        "id", "_ft_text",
-    )
-    ft_leg = fulltext_topk(index, query, limit * OVERFETCH)
+    vec_leg = vector_topk(embedded, qvec, limit * OVERFETCH,
+                          round_dp=score_round)
+    if index is None:
+        index = work_fulltext_index(nodes["Work"])
+    ft_leg = fulltext_topk(index, query, limit * OVERFETCH,
+                           round_dp=score_round)
     fused = rrf_fuse(vec_leg, ft_leg, k=rrf_k,
                      vector_weight=vector_weight,
                      fulltext_weight=fulltext_weight).limit(limit)

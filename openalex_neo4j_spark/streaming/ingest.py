@@ -42,6 +42,7 @@ def stream_ingest_mentions(
     out_root: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Start the ingest stream; returns the StreamingQuery.
 
@@ -56,11 +57,13 @@ def stream_ingest_mentions(
         n_in = batch_df.count()
         if n_in == 0:
             return
-        mentions = mentions_from_pages(batch_df)
+        # lineage counts THIS epoch's mentions only: cache the extracted
+        # batch, count it, append it. Never re-read the cumulative output
+        # table — per-epoch bookkeeping must stay O(batch), not O(corpus).
+        mentions = mentions_from_pages(batch_df).persist()
+        n_out = mentions.count()
         mentions.write.mode("append").parquet(f"{out_root}/mentions_stream")
-        n_out = (
-            spark.read.parquet(f"{out_root}/mentions_stream").count()
-        )
+        mentions.unpersist()
         spark.createDataFrame(
             [(
                 "stream_ingest", int(epoch_id), n_in, n_out,
@@ -69,7 +72,8 @@ def stream_ingest_mentions(
             LINEAGE_SCHEMA,
         ).coalesce(1).write.mode("append").parquet(f"{out_root}/lineage")
 
-    stream = pages_stream(spark, pages_dir)
+    stream = pages_stream(spark, pages_dir,
+                          max_files_per_trigger=max_files_per_trigger)
     writer = (
         stream.writeStream.foreachBatch(ingest_batch)
         .option("checkpointLocation", checkpoint_dir)

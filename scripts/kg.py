@@ -33,7 +33,8 @@ def cmd_import(args) -> int:
     g = import_from_query(pages, args.query, limit=args.limit,
                           expand_depth=args.expand_depth,
                           skip_abstracts=args.skip_abstracts)
-    counts = write_graph(g, args.out)
+    # index DDL at import time (reference importer step 5)
+    counts = write_graph(g, args.out, with_search_indexes=True)
     # A7 import-count report (cli.py:159-181)
     print("Import complete:")
     for k in ("Work", "Author", "Institution", "Source", "Topic",
@@ -61,10 +62,15 @@ def cmd_search(args) -> int:
                       "Topic", "Publisher", "Funder")
     }
     edges = spark.read.parquet(f"{args.graph}/edges")
+    try:
+        # the persisted import-time index (D2) — never rebuilt per query
+        index = spark.read.parquet(f"{args.graph}/index_fulltext")
+    except Exception:
+        index = None  # pre-index graph dir: fall back to ad-hoc build
     rows = hybrid_search(
         args.query, nodes, edges, limit=args.limit, rrf_k=args.rrf_k,
         vector_weight=args.vector_weight,
-        fulltext_weight=args.fulltext_weight,
+        fulltext_weight=args.fulltext_weight, index=index,
     ).collect()
     # format_results_table analog (search.py:292-364): truncated
     # columns, rank + score + title + authors + year

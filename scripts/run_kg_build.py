@@ -54,6 +54,7 @@ def main() -> int:
         from openalex_neo4j_spark.pipeline import (GraphTables, _named_nodes,
                                                    author_nodes, build_edges,
                                                    build_triples,
+                                                   enrich_node_counts,
                                                    institution_nodes,
                                                    publisher_nodes,
                                                    source_nodes, work_nodes)
@@ -72,6 +73,7 @@ def main() -> int:
             "Publisher": publisher_nodes(linked),
         }
         edges = build_edges(linked, nodes["Work"])
+        nodes = enrich_node_counts(nodes, edges, linked)
         n_triples = build_triples(nodes, edges).count()
         wall = time.time() - t0
         print(json.dumps({

@@ -44,9 +44,16 @@ def run_once(cores: int, pages_path: str, zpath: str) -> dict:
     cmd = [
         "spark-submit", "--master", f"local[{cores}]",
         "--driver-memory", "16g",
-        "--conf", f"spark.sql.shuffle.partitions={cores}",
+        # 4x cores: tasks per stage stay load-balanced under skewed
+        # task durations (partitions == cores leaves cores idle behind
+        # the slowest task). Same rule both legs — fair comparison.
+        "--conf", f"spark.sql.shuffle.partitions={4 * cores}",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.sql.adaptive.enabled=true",
+        # the link-stage shuffles are small (fixed-width keys, ~MBs):
+        # AQE's 1MB floor would coalesce them to 1-2 partitions and
+        # serialize the middle of the pipeline at any core count
+        "--conf", "spark.sql.adaptive.coalescePartitions.minPartitionSize=64k",
         # binary html rows are ~16KB: the default 4096-row columnar
         # batch overflows the on-heap column vector
         "--conf", "spark.sql.parquet.columnarReaderBatchSize=512",

@@ -1,6 +1,12 @@
 """Connected-components operator unit tests (hash-to-min)."""
 
-from openalex_neo4j_spark.operators.cc import connected_components
+import random
+
+from openalex_neo4j_spark.operators.cc import (
+    connected_components,
+    connected_components_auto,
+    driver_union_find,
+)
 
 
 def _cc(spark, pairs):
@@ -32,3 +38,32 @@ def test_star(spark):
     pairs = [("hub", f"leaf{i}") for i in range(20)]
     got = _cc(spark, pairs)
     assert set(got.values()) == {"hub"}
+
+
+def test_distributed_path_matches_union_find(spark):
+    """Over-threshold graphs must take the distributed hash-to-min
+    loop, and its labeling must equal the driver union-find exactly —
+    exercised by forcing the threshold to 0 on a random multi-component
+    graph (chains + stars + cliques + singleton edges)."""
+    rng = random.Random(7)
+    pairs = []
+    for comp in range(40):
+        members = [f"c{comp:02d}_{i:02d}" for i in range(rng.randint(2, 30))]
+        # random spanning connections + a few extra edges
+        for i in range(1, len(members)):
+            pairs.append((members[i], members[rng.randrange(i)]))
+        for _ in range(rng.randint(0, 5)):
+            pairs.append((rng.choice(members), rng.choice(members)))
+    rng.shuffle(pairs)
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+
+    # threshold 0 -> the auto dispatcher MUST use the distributed loop
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components_auto(df, max_driver_edges=0).collect()
+    }
+    want = dict(driver_union_find(pairs))
+    assert dist == want
+    # every component labeled by its min member
+    for node, comp in dist.items():
+        assert comp <= node

@@ -115,3 +115,33 @@ def test_upsert_last_wins(spark, tmp_path):
     got = {r["id"]: r["title"]
            for r in upsert_nodes(spark, path, second).collect()}
     assert got == {"a": "Title v2", "b": "B", "c": "C"}
+
+
+def test_upsert_crash_preserves_old_table(spark, tmp_path, monkeypatch):
+    """Kill-between-write safety: an upsert that dies after staging but
+    before the rename-commit leaves the previous table fully readable;
+    a half-committed state (live dir moved aside) is recovered on the
+    next upsert."""
+    import openalex_neo4j_spark.materialize as mat
+
+    path = str(tmp_path / "nodes")
+    first = spark.createDataFrame([("a", "v1"), ("b", "B")], ["id", "title"])
+    mat.upsert_nodes(spark, path, first)
+
+    # crash 1: die before commit — staged dir written, live untouched
+    def boom(staged, p):
+        raise RuntimeError("killed before commit")
+    monkeypatch.setattr(mat, "_commit_table", boom)
+    second = spark.createDataFrame([("a", "v2")], ["id", "title"])
+    with pytest.raises(RuntimeError):
+        mat.upsert_nodes(spark, path, second)
+    got = {r["id"]: r["title"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": "v1", "b": "B"}, "old table must survive the kill"
+
+    # crash 2: die mid-commit (live renamed to .bak, staged not promoted)
+    import os
+    os.rename(path, f"{path}.bak-deadbeef")
+    monkeypatch.undo()
+    got = {r["id"]: r["title"]
+           for r in mat.upsert_nodes(spark, path, second).collect()}
+    assert got == {"a": "v2", "b": "B"}, "recovery + merge must succeed"

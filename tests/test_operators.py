@@ -175,6 +175,32 @@ class TestSkew:
         got = {r["k"]: r["cnt"] for r in salted_count(df, ["k"]).collect()}
         assert got == {"hot": 500, "cold": 3}
 
+    def test_salt_from_named_columns_skips_wide_payload(self, spark):
+        """The salt expression hashes only the caller-named column set;
+        a wide payload column stays out of the hash and results are
+        identical either way."""
+        from pyspark.sql import functions as F
+        from openalex_neo4j_spark.operators.skew import _salt_expr
+
+        rows = [("hot", i, "X" * 10_000) for i in range(200)] + [
+            ("cold", i, "Y" * 10_000) for i in range(3)]
+        df = spark.createDataFrame(rows, ["k", "v", "payload"])
+        got = {r["k"]: r["cnt"]
+               for r in salted_count(df, ["k"], salt_cols=["v"]).collect()}
+        assert got == {"hot": 200, "cold": 3}
+        # the named-subset salt expression references v only
+        expr = str(_salt_expr(df, ["k"], ["v"], 16))
+        assert "payload" not in expr and "v" in expr
+        # default (no salt_cols) still excludes the constant group keys
+        expr_default = str(_salt_expr(df, ["k"], None, 16))
+        assert "'k" not in expr_default.replace("pmod", "")
+        # and the salt actually spreads the hot key across partials
+        spread = (
+            df.withColumn("_salt", _salt_expr(df, ["k"], ["v"], 16))
+            .filter(F.col("k") == "hot").select("_salt").distinct().count()
+        )
+        assert spread > 1
+
     def test_salted_join_matches_plain(self, spark):
         big = spark.createDataFrame(
             [("a", i) for i in range(100)] + [("b", i) for i in range(5)],

@@ -56,6 +56,44 @@ def test_topk_compiles_to_take_ordered(spark):
     assert "TakeOrderedAndProject" in s
 
 
+def test_hybrid_search_reads_stored_index(spark, tmp_path):
+    """The query path reads the persisted index_fulltext table — no
+    per-query index rebuild (VERDICT r1 #2): the plan scans the stored
+    parquet index, and the fulltext leg contains no aggregation over
+    the works corpus."""
+    from openalex_neo4j_spark.corpus import build_world, pages_dataframe
+    from openalex_neo4j_spark.materialize import write_graph
+    from openalex_neo4j_spark.pipeline import build_graph
+    from openalex_neo4j_spark.search import fulltext_topk, hybrid_search
+
+    world = build_world(40, seed=13)
+    g = build_graph(pages_dataframe(spark, world), generate_embeddings=True)
+    root = str(tmp_path / "wh")
+    write_graph(g, root, with_search_indexes=True)
+
+    nodes = {
+        label: spark.read.parquet(f"{root}/nodes_{label.lower()}")
+        for label in ("Work", "Author", "Institution", "Source",
+                      "Topic", "Publisher", "Funder")
+    }
+    edges = spark.read.parquet(f"{root}/edges")
+    index = spark.read.parquet(f"{root}/index_fulltext")
+
+    w = next(w for w in world.works.values() if w.has_canonical)
+    # the fulltext leg alone: one scan of the stored index, zero scans
+    # of the works table (a rebuild would tokenize + aggregate works)
+    leg = fulltext_topk(index, w.title, 10)
+    plan = explain_str(leg, "formatted")
+    assert "index_fulltext" in plan
+    assert "nodes_work" not in plan
+
+    res = hybrid_search(w.title, nodes, edges, limit=5, index=index)
+    plan = explain_str(res, "formatted")
+    assert "index_fulltext" in plan
+    rows = res.collect()
+    assert rows and any("doi:" in r["id"] for r in rows)
+
+
 def test_kg_scan_prunes_html_from_non_extract_paths(spark, tmp_path):
     """The binary column must only be read by the extraction stage."""
     from openalex_neo4j_spark.corpus import build_world, write_pages_parquet

@@ -55,6 +55,31 @@ def test_killed_extract_resumes_without_recompute(spark, pages, tmp_path_factory
     assert resumed == direct
 
 
+def test_extract_chunk_scans_pages_once(spark, pages, tmp_path_factory):
+    """Per chunk, the html-bearing pages input is evaluated exactly
+    once (the extraction write) — pinned with an accumulator-counting
+    identity mapInPandas wrapped around the input: a second pass (the
+    old pre-count) would double the row tally."""
+    root = str(tmp_path_factory.mktemp("resume_scan"))
+    pages_df, _ = pages
+    n_pages = pages_df.count()
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def probe(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    probed = pages_df.mapInPandas(probe, schema=pages_df.schema)
+    # one chunk covering every bucket -> exactly one full pass expected
+    resumable_extract(spark, probed, root, run_id="probe",
+                      num_buckets=4, chunk_size=4, max_chunks=1)
+    assert acc.value == n_pages, (
+        f"pages evaluated {acc.value} row-passes for {n_pages} rows — "
+        "the extract chunk must read its input exactly once")
+
+
 def test_full_resumable_pipeline_matches_oracle(spark, pages, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("resume_full"))
     pages_df, world = pages

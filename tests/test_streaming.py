@@ -41,6 +41,31 @@ def test_stream_ingest_drains_and_records_lineage(spark, pages_dir,
     assert spark.read.parquet(f"{out}/mentions_stream").count() == scholarly
 
 
+def test_lineage_counts_per_epoch_not_cumulative(spark, pages_dir,
+                                                 tmp_path_factory):
+    """Each epoch's lineage row records that epoch's mention count only:
+    summing output_rows across epochs must equal the table total (a
+    cumulative recount would double-count earlier epochs)."""
+    d, world = pages_dir
+    out = str(tmp_path_factory.mktemp("stream_out_epochs"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_epochs"))
+
+    q = stream_ingest_mentions(spark, d, out, ckpt, available_now=True,
+                               max_files_per_trigger=2)
+    q.awaitTermination(120)
+
+    total = spark.read.parquet(f"{out}/mentions_stream").count()
+    rows = (
+        spark.read.parquet(f"{out}/lineage")
+        .filter(F.col("stage") == "stream_ingest")
+        .select("partition_id", "output_rows")
+        .collect()
+    )
+    assert len(rows) >= 2  # 4 files / 2 per trigger -> >=2 epochs
+    assert sum(r["output_rows"] for r in rows) == total
+    assert all(r["output_rows"] < total for r in rows)
+
+
 def test_stateful_host_sessions(spark, pages_dir, tmp_path_factory):
     """applyInPandasWithState custom operator: per-host session state
     accumulates across the drained batch."""
