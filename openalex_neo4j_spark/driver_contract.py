@@ -562,6 +562,79 @@ def kg_top_cited(spark, sf):
     )
 
 
+def _kg_edges_cached(spark, n_works: int = 150):
+    """Build-once edge table for the README graph-query surface
+    (README.md:330-357): the graph at (n_works, seed 42) is materialized
+    to /tmp parquet on first use and read back afterwards — the query
+    contract functions below are *queries over a built graph*, not
+    re-runs of the build."""
+    import os
+
+    from openalex_neo4j_spark.corpus import build_world, pages_dataframe
+    from openalex_neo4j_spark.kg_oracle import KG_CACHE_VERSION
+    from openalex_neo4j_spark.materialize import write_graph
+    from openalex_neo4j_spark.pipeline import build_graph
+
+    root = f"/tmp/spark_graft_kg_edges_w{n_works}_s42_{KG_CACHE_VERSION}"
+    if not os.path.exists(f"{root}/edges"):
+        world = build_world(n_works, seed=42)
+        write_graph(build_graph(pages_dataframe(spark, world)), root)
+    return spark.read.parquet(f"{root}/edges")
+
+
+def kg_collaborators(spark, sf):
+    """README.md:342-346 (2-hop with self-inequality): author pairs
+    sharing a work — self-join of AUTHORED on the work endpoint with
+    a1 < a2, shared-work count, top-20. Oracle: same join over the
+    plain-Python oracle triple table in DuckDB."""
+    e = _kg_edges_cached(spark)
+    a = e.filter(F.col("pred") == "AUTHORED").select(
+        F.col("subj").alias("a1"), F.col("obj").alias("work"))
+    b = a.select(F.col("a1").alias("a2"), "work")
+    return (
+        a.join(b, "work")
+        .filter(F.col("a1") < F.col("a2"))
+        .groupBy("a1", "a2")
+        .agg(F.countDistinct("work").alias("shared_works"))
+        .orderBy(F.col("shared_works").desc(), "a1", "a2")
+        .limit(20)
+    )
+
+
+def kg_institution_works(spark, sf):
+    """README.md:349-352 (3-hop): institution -> affiliated authors ->
+    their works; distinct-work count per institution."""
+    e = _kg_edges_cached(spark)
+    aff = e.filter(F.col("pred") == "AFFILIATED_WITH").select(
+        F.col("subj").alias("author"), F.col("obj").alias("inst"))
+    authored = e.filter(F.col("pred") == "AUTHORED").select(
+        F.col("subj").alias("author"), F.col("obj").alias("work"))
+    return (
+        aff.join(authored, "author")
+        .groupBy("inst")
+        .agg(F.countDistinct("work").alias("n_works"))
+        .orderBy(F.col("n_works").desc(), "inst")
+    )
+
+
+def kg_cocited_pairs(spark, sf):
+    """README.md:336-339, 355-357 (citation neighborhoods): co-citation
+    — pairs of works cited together by the same citing work, counted,
+    top-20."""
+    e = _kg_edges_cached(spark)
+    c = e.filter(F.col("pred") == "CITES").select(
+        F.col("subj").alias("citing"), F.col("obj").alias("w1"))
+    d = c.select("citing", F.col("w1").alias("w2"))
+    return (
+        c.join(d, "citing")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.countDistinct("citing").alias("cocitations"))
+        .orderBy(F.col("cocitations").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
 def kg_hybrid_search(spark, sf):
     """Import-then-search split: the graph, work embeddings (M4), and
     the fulltext index (D2) are materialized ONCE to a warehouse dir;
@@ -1007,4 +1080,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_hybrid_search": kg_hybrid_search,
     "kg_citation_rank": kg_citation_rank,
     "kg_top_cited": kg_top_cited,
+    # README.md:330-357 direct graph-query surface (SURVEY §3.3)
+    "kg_collaborators": kg_collaborators,
+    "kg_institution_works": kg_institution_works,
+    "kg_cocited_pairs": kg_cocited_pairs,
 }

@@ -24,6 +24,8 @@ from openalex_neo4j_spark.pipeline import camel_label_expr  # noqa: F401
 from openalex_neo4j_spark.search import (  # noqa: F401
     cosine_expr,
     hash_embed_udf,
+    make_embed_udf,
+    query_embedding,
 )
 from openalex_neo4j_spark.textnorm import (  # noqa: F401
     camel_case_label,

@@ -270,4 +270,43 @@ WHERE t.pred = 'cited_by_count'
 ORDER BY cited_by_count DESC, id
 LIMIT 20
 """,
+        # README.md:342-346 — 2-hop collaborator pairs over AUTHORED
+        "kg_collaborators": f"""
+WITH authored AS (
+  SELECT subj AS author, obj AS work
+  FROM read_parquet('{paths['kg_triples']}') WHERE pred = 'AUTHORED')
+SELECT a.author AS a1, b.author AS a2,
+       COUNT(DISTINCT a.work) AS shared_works
+FROM authored a JOIN authored b
+  ON a.work = b.work AND a.author < b.author
+GROUP BY 1, 2
+ORDER BY shared_works DESC, a1, a2
+LIMIT 20
+""",
+        # README.md:349-352 — 3-hop institution -> authors -> works
+        "kg_institution_works": f"""
+WITH aff AS (
+  SELECT subj AS author, obj AS inst
+  FROM read_parquet('{paths['kg_triples']}') WHERE pred = 'AFFILIATED_WITH'),
+authored AS (
+  SELECT subj AS author, obj AS work
+  FROM read_parquet('{paths['kg_triples']}') WHERE pred = 'AUTHORED')
+SELECT inst, COUNT(DISTINCT work) AS n_works
+FROM aff JOIN authored USING (author)
+GROUP BY inst
+ORDER BY n_works DESC, inst
+""",
+        # README.md:336-339, 355-357 — co-citation pairs over CITES
+        "kg_cocited_pairs": f"""
+WITH cites AS (
+  SELECT subj AS citing, obj AS cited
+  FROM read_parquet('{paths['kg_triples']}') WHERE pred = 'CITES')
+SELECT a.cited AS w1, b.cited AS w2,
+       COUNT(DISTINCT a.citing) AS cocitations
+FROM cites a JOIN cites b
+  ON a.citing = b.citing AND a.cited < b.cited
+GROUP BY 1, 2
+ORDER BY cocitations DESC, w1, w2
+LIMIT 20
+""",
     }

@@ -347,7 +347,8 @@ def build_triples(nodes: dict[str, DataFrame], edges: DataFrame) -> DataFrame:
 
 
 def build_graph(pages: DataFrame, skip_abstracts: bool = False,
-                generate_embeddings: bool = False) -> GraphTables:
+                generate_embeddings: bool = False,
+                embedding_model: str | None = None) -> GraphTables:
     # checkpoint: the Arrow-parse stage feeds both the group aggregation
     # and the final mention join — materialize it exactly once
     mentions = mentions_from_pages(pages).localCheckpoint()
@@ -356,11 +357,13 @@ def build_graph(pages: DataFrame, skip_abstracts: bool = False,
         # P10 (importer.py:73-77): drop abstracts behind a config flag
         linked = linked.withColumn("abstract", F.lit(None).cast("string"))
     return build_graph_from_linked(linked.localCheckpoint(),
-                                   generate_embeddings=generate_embeddings)
+                                   generate_embeddings=generate_embeddings,
+                                   embedding_model=embedding_model)
 
 
 def build_graph_from_linked(linked: DataFrame,
-                            generate_embeddings: bool = False) -> GraphTables:
+                            generate_embeddings: bool = False,
+                            embedding_model: str | None = None) -> GraphTables:
     nodes = {
         "Work": work_nodes(linked),
         "Author": author_nodes(linked),
@@ -376,8 +379,12 @@ def build_graph_from_linked(linked: DataFrame,
         # materialized once on the node table, reused by search
         from openalex_neo4j_spark.search import (embed_text_column,
                                                  work_embedding_text)
+        # embedding_model=None -> deterministic hash featurizer;
+        # 'all-MiniLM-L6-v2' -> real sentence-transformers per worker
+        # (M1 parity, reference embeddings.py:26)
         nodes["Work"] = embed_text_column(
-            work_embedding_text(nodes["Work"]), "_embed_text"
+            work_embedding_text(nodes["Work"]), "_embed_text",
+            model_name=embedding_model,
         ).drop("_embed_text")
     edges = build_edges(linked, nodes["Work"])
     nodes = enrich_node_counts(nodes, edges, linked)

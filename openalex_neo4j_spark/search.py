@@ -69,16 +69,74 @@ def _hash_embed_one(text: str | None, dim: int = EMBED_DIM) -> list[float]:
 
 @F.pandas_udf(ArrayType(FloatType()))
 def hash_embed_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """Iterator form: a real model would be loaded once per worker here
-    (the reference's lazy module-global — embeddings.py:9,21-27)."""
-    # model = load_model_once()   # <- real-model hook
+    """Iterator form: the no-model default. The real-model variant with
+    the identical UDF shape is :func:`make_embed_udf`."""
     for texts in it:
         yield texts.map(_hash_embed_one)
 
 
+# per-Python-worker model cache — the Spark analog of the reference's
+# lazy module-global ``_model`` (embeddings.py:9,21-27): each executor
+# Python worker loads the model once and reuses it across Arrow batches.
+_MODEL_CACHE: dict = {}
+
+
+def _load_model_once(model_name: str):
+    if model_name not in _MODEL_CACHE:
+        from sentence_transformers import SentenceTransformer  # lazy, heavy
+        _MODEL_CACHE[model_name] = SentenceTransformer(model_name)
+    return _MODEL_CACHE[model_name]
+
+
+def make_embed_udf(model_name: str | None = None, batch_size: int = 32):
+    """M1 (reference embeddings.py:12-33, 79-103): the embedding UDF.
+
+    ``model_name=None`` (default) returns the deterministic hash
+    featurizer — no downloads, engine-stable, used by all tests and
+    oracles. ``model_name='all-MiniLM-L6-v2'`` (the reference's model,
+    embeddings.py:26) returns a UDF that loads sentence-transformers
+    ONCE per Python worker and encodes each Arrow batch with
+    ``model.encode(batch_size=32)`` (embeddings.py:94-99). Both paths
+    share the iterator-pandas-UDF shape and the 384-dim unit-norm
+    contract; empty/whitespace-only text yields null, matching
+    ``generate_embedding`` (embeddings.py:45-46).
+    """
+    if model_name is None:
+        return hash_embed_udf
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def model_embed_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = _load_model_once(model_name)
+        for texts in it:
+            filled = texts.fillna("")
+            nonempty = filled.str.strip() != ""
+            out = pd.Series([None] * len(texts), index=texts.index,
+                            dtype=object)
+            vals = filled[nonempty].tolist()
+            if vals:
+                vecs = model.encode(vals, batch_size=batch_size,
+                                    convert_to_numpy=True)
+                out[nonempty] = [[float(x) for x in v] for v in vecs]
+            yield out
+
+    return model_embed_udf
+
+
 def embed_text_column(df: DataFrame, text_col: str,
-                      out_col: str = "embedding") -> DataFrame:
-    return df.withColumn(out_col, hash_embed_udf(F.col(text_col)))
+                      out_col: str = "embedding",
+                      model_name: str | None = None) -> DataFrame:
+    return df.withColumn(out_col,
+                         make_embed_udf(model_name)(F.col(text_col)))
+
+
+def query_embedding(query: str, model_name: str | None = None) -> list[float]:
+    """Driver-side query-text embedding (reference search.py:55-58 calls
+    generate_embedding on the query string). Same model switch as
+    :func:`make_embed_udf`."""
+    if model_name is None:
+        return _hash_embed_one(query)
+    vec = _load_model_once(model_name).encode(query, convert_to_numpy=True)
+    return [float(x) for x in vec]
 
 
 def work_embedding_text(works: DataFrame) -> DataFrame:
@@ -303,7 +361,8 @@ def hybrid_search(query: str, nodes: dict[str, DataFrame], edges: DataFrame,
                   vector_weight: float = 1.0,
                   fulltext_weight: float = 1.0,
                   index: DataFrame | None = None,
-                  score_round: int | None = None) -> DataFrame:
+                  score_round: int | None = None,
+                  embedding_model: str | None = None) -> DataFrame:
     """Full reference-search-parity flow (search.py:43-84).
 
     ``index``: the persisted fulltext index table (work_fulltext_index
@@ -319,8 +378,9 @@ def hybrid_search(query: str, nodes: dict[str, DataFrame], edges: DataFrame,
         # vector index analog: no re-encoding per query
         embedded = works
     else:
-        embedded = embed_text_column(works, "_embed_text")
-    qvec = _hash_embed_one(query)
+        embedded = embed_text_column(works, "_embed_text",
+                                     model_name=embedding_model)
+    qvec = query_embedding(query, model_name=embedding_model)
     vec_leg = vector_topk(embedded, qvec, limit * OVERFETCH,
                           round_dp=score_round)
     if index is None:

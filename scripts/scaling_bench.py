@@ -41,7 +41,17 @@ def make_zip() -> str:
 
 
 def run_once(cores: int, pages_path: str, zpath: str) -> dict:
-    cmd = [
+    cmd = []
+    if os.environ.get("SCALE_PIN", "1") == "1":
+        # Pin the WHOLE process tree (JVM + pyspark daemon + Python UDF
+        # workers) to exactly `cores` CPUs. Without this the local[N]
+        # leg is not an N-core-cluster proxy: Spark only caps JVM task
+        # slots at N, while Python workers, GC, shuffle and IO threads
+        # spill onto the host's remaining cores — inflating the small-N
+        # leg's throughput and understating scaling efficiency. A real
+        # N-executor cluster gives *everything* N*c cores total.
+        cmd += ["taskset", "-c", f"0-{cores - 1}"]
+    cmd += [
         "spark-submit", "--master", f"local[{cores}]",
         "--driver-memory", "16g",
         # 4x cores: tasks per stage stay load-balanced under skewed

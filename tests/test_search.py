@@ -144,3 +144,34 @@ class TestHybridSearch:
         # re-sorted by fused score (W5)
         scores = [r["score"] for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+class TestModelSwitch:
+    """M1 parity (reference embeddings.py:12-33): the embedding UDF is
+    config-switchable between the deterministic hash featurizer
+    (model_name=None) and a real sentence-transformers model loaded
+    once per Python worker."""
+
+    def test_default_is_hash_featurizer(self):
+        from openalex_neo4j_spark.search import hash_embed_udf, make_embed_udf
+        assert make_embed_udf(None) is hash_embed_udf
+
+    def test_model_path_builds_distinct_udf(self):
+        # constructing the UDF must not import/load the model (lazy,
+        # per-worker — reference embeddings.py:9,21-27)
+        from openalex_neo4j_spark.search import hash_embed_udf, make_embed_udf
+        udf = make_embed_udf("all-MiniLM-L6-v2")
+        assert udf is not hash_embed_udf
+
+    def test_real_model_encode(self, spark):
+        # skipped in this container (no sentence-transformers); the
+        # code path is exercised wherever the package exists
+        pytest.importorskip("sentence_transformers")
+        from openalex_neo4j_spark.search import embed_text_column
+        df = spark.createDataFrame(
+            [("a", "graph neural networks"), ("b", "   "), ("c", None)],
+            ["id", "text"])
+        out = {r["id"]: r["emb"] for r in embed_text_column(
+            df, "text", "emb", model_name="all-MiniLM-L6-v2").collect()}
+        assert len(out["a"]) == EMBED_DIM      # 384-dim contract both ways
+        assert out["b"] is None and out["c"] is None  # empty -> null
