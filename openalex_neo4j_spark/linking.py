@@ -35,7 +35,7 @@ runs reproduce identical blocking decisions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from openalex_neo4j_spark.operators.cc import connected_components_auto
 
@@ -61,48 +61,64 @@ def _minhash_bands(titles: DataFrame, extra_cols: list[str] | None = None
     """(t, [extra...], band, band_key) for a (t: norm_title) frame —
     MinHash banded for LSH.
 
-    Hash = native ``xxhash64`` (whole-stage codegen; an interpreted
-    md5-expression variant measured ~10x slower at 300k titles). The
-    engine-stable md5 MinHash lives in operators/dedup.py where the
-    DuckDB-oracle contract needs it; linking only needs deterministic
-    blocking, which xxhash64 gives.
+    Hash = native ``xxhash64``. The engine-stable md5 MinHash lives in
+    operators/dedup.py where the DuckDB-oracle contract needs it;
+    linking only needs deterministic blocking, which xxhash64 gives.
 
-    Computed entirely as nested array expressions inside one projection
-    (shingles -> per-seed min-hash -> band keys): zero shuffles; the
-    intermediates are materialized as columns between projections —
-    inlining them into the seed lambda re-evaluates the shingle
-    construction per seed (no CSE through lambdas)."""
+    Shape: posexplode words -> window leads build each word-3-shingle
+    -> 16 per-seed hash columns -> groupBy min. Every operator here is
+    codegen/Tungsten-friendly. The tempting zero-shuffle alternative —
+    nested ``transform``/``array_min`` lambdas in one projection — is
+    10-30x slower at 300k+ titles: Spark higher-order functions never
+    enter whole-stage codegen (interpreted ``eval`` per element, boxed
+    collections), and CollapseProject inlines the shingle construction
+    into the per-seed lambda so it re-evaluates NUM_HASHES times per
+    row (confirmed by thread dumps: ArrayTransform.nullSafeEval /
+    ConcatWs.eval hot). The two small shuffles here (words window +
+    signature agg, both map-side combined, fixed-width hash values)
+    are far cheaper at any scale."""
     extra_cols = extra_cols or []
     arr = F.split(F.col("t"), " ")
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(arr) - 2, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(arr, i, 3)),
+    words = titles.select(
+        "t", *extra_cols, F.size(arr).alias("_n"),
+        F.posexplode(arr).alias("_pos", "_w"),
+    )
+    win = Window.partitionBy("t", *extra_cols).orderBy("_pos")
+    # shingle at 1-based position i exists for i in
+    # 1..greatest(size-2, 1): full 3-word windows, or the whole (short)
+    # title when size < 3 (concat_ws skips the null leads)
+    shingled = (
+        words.withColumn(
+            "_sh",
+            F.concat_ws(" ", F.col("_w"), F.lead("_w", 1).over(win),
+                        F.lead("_w", 2).over(win)),
         )
+        .filter(F.col("_pos") < F.greatest(F.col("_n") - 2, F.lit(1)))
+        .select("t", *extra_cols, "_sh")
+        .distinct()
     )
-    with_sh = titles.select("t", *extra_cols, sh.alias("sh"))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
-        lambda seed: F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda s: F.xxhash64(F.concat_ws("|", seed.cast("string"), s)),
-            )
-        ),
+    hash_cols = [
+        F.xxhash64(F.concat_ws("|", F.lit(str(seed)), F.col("_sh")))
+        .alias(f"_h{seed}")
+        for seed in range(NUM_HASHES)
+    ]
+    sig = (
+        shingled.select("t", *extra_cols, *hash_cols)
+        .groupBy("t", *extra_cols)
+        .agg(*[F.min(f"_h{s}").alias(f"_s{s}") for s in range(NUM_HASHES)])
     )
-    with_sig = with_sh.select("t", *extra_cols, sig.alias("sig"))
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(NUM_HASHES // BAND_SIZE - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
             F.concat_ws(
                 "|",
-                F.element_at(F.col("sig"), b * BAND_SIZE + 1).cast("string"),
-                F.element_at(F.col("sig"), b * BAND_SIZE + 2).cast("string"),
+                F.col(f"_s{b * BAND_SIZE}").cast("string"),
+                F.col(f"_s{b * BAND_SIZE + 1}").cast("string"),
             ).alias("band_key"),
-        ),
-    )
-    return with_sig.select("t", *extra_cols, F.explode(bands).alias("bk")).select(
+        )
+        for b in range(NUM_HASHES // BAND_SIZE)
+    ])
+    return sig.select("t", *extra_cols, F.explode(band_structs).alias("bk")).select(
         "t", *extra_cols,
         F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"),
     )

@@ -303,24 +303,29 @@ def enrich_node_counts(nodes: dict[str, DataFrame], edges: DataFrame,
     return out
 
 
-def _prop_triples(df: DataFrame, props: list[str]) -> DataFrame:
-    parts = []
-    for p in props:
-        parts.append(
-            df.filter(F.col(p).isNotNull()).select(
-                F.col("id").alias("subj"),
-                F.lit(p).alias("pred"),
-                F.col(p).cast("string").alias("obj"),
-            )
-        )
-    out = parts[0]
-    for x in parts[1:]:
-        out = out.unionByName(x)
-    return out
+def _prop_triples(df: DataFrame, props: list[str],
+                  label: str) -> DataFrame:
+    """(subj, pred, obj) rows for the label triple + every non-null
+    property, in ONE scan of the node table: explode of a literal
+    (pred, obj) struct array. A filter-branch-per-property union would
+    make Spark re-execute the node-table subtree (window dedup, count
+    joins) once per property — O(props) recomputes of the build DAG."""
+    kv = F.array(
+        F.struct(F.lit("label").alias("pred"), F.lit(label).alias("obj")),
+        *[F.struct(F.lit(p).alias("pred"), F.col(p).cast("string").alias("obj"))
+          for p in props],
+    )
+    return (
+        df.select(F.col("id").alias("subj"), F.explode(kv).alias("kv"))
+        .select("subj", F.col("kv.pred").alias("pred"),
+                F.col("kv.obj").alias("obj"))
+        .filter(F.col("obj").isNotNull())
+    )
 
 
 def build_triples(nodes: dict[str, DataFrame], edges: DataFrame) -> DataFrame:
-    """triples = edges ∪ node-property triples ∪ (id, label, <Type>)."""
+    """triples = edges ∪ node-property triples ∪ (id, label, <Type>);
+    one scan per node table (see _prop_triples)."""
     prop_map = {
         "Work": ["title", "publication_year", "type", "type_label",
                  "cited_by_count"],
@@ -333,13 +338,9 @@ def build_triples(nodes: dict[str, DataFrame], edges: DataFrame) -> DataFrame:
     }
     parts = [edges]
     for label, df in nodes.items():
-        parts.append(
-            df.select(F.col("id").alias("subj"), F.lit("label").alias("pred"),
-                      F.lit(label).alias("obj"))
-        )
         # derived-count props appear only on enriched node tables
         parts.append(_prop_triples(
-            df, [p for p in prop_map[label] if p in df.columns]))
+            df, [p for p in prop_map[label] if p in df.columns], label))
     out = parts[0]
     for x in parts[1:]:
         out = out.unionByName(x)
@@ -386,8 +387,17 @@ def build_graph_from_linked(linked: DataFrame,
             work_embedding_text(nodes["Work"]), "_embed_text",
             model_name=embedding_model,
         ).drop("_embed_text")
-    edges = build_edges(linked, nodes["Work"])
+    # materialization barriers: edges and the enriched node tables are
+    # each consumed by several downstream plans (count enrichment,
+    # property triples, writes, search). Without the checkpoint, each
+    # consumer re-executes the full upstream DAG — including the
+    # work_nodes window dedup over all mentions — once per use (the
+    # column-pruned subtrees differ per consumer, so Catalyst's
+    # ReuseExchange cannot dedupe them). Node/edge tables are tiny
+    # relative to the mention corpus, so the barrier cost is O(output).
+    edges = build_edges(linked, nodes["Work"]).localCheckpoint()
     nodes = enrich_node_counts(nodes, edges, linked)
+    nodes = {label: df.localCheckpoint() for label, df in nodes.items()}
     triples = build_triples(nodes, edges)
     return GraphTables(nodes=nodes, edges=edges, triples=triples,
                        mentions=linked)

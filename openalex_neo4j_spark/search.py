@@ -239,26 +239,92 @@ def work_fulltext_index(works: DataFrame) -> DataFrame:
     )
 
 
+def parse_lucene_lite(query: str) -> dict:
+    """Minimal Lucene-ish query parser (M6 depth beyond the reference
+    CLI, which only ever passes plain text — cli.py:309-315; Neo4j's
+    fulltext procedure accepts full Lucene syntax, so a reference user
+    *could* send these):
+
+    - bare terms       -> scored, any-match (OR semantics, like Lucene)
+    - ``"a b"`` phrase -> all words required (term-set semantics; the
+      bag-of-words index cannot check adjacency)
+    - ``+term``        -> required (MUST)
+    - ``-term``        -> excluded (MUST_NOT)
+
+    Returns {"should": [t...], "must": [t...], "must_not": [t...],
+    "phrases": [[w1, w2, ...], ...]}. Unsupported Lucene constructs
+    (field:, fuzzy~, boosts^, ranges) are treated as plain text.
+    """
+    import re as _re
+
+    out = {"should": [], "must": [], "must_not": [], "phrases": []}
+    for phrase in _re.findall(r'"([^"]*)"', query):
+        words = [w for w in phrase.lower().split() if w]
+        if words:
+            out["phrases"].append(words)
+    rest = _re.sub(r'"[^"]*"', " ", query)
+    for raw in rest.replace(",", " ").split():
+        t = raw.lower()
+        if t in ("and", "or", "not"):
+            continue
+        if raw.startswith("+") and len(t) > 1:
+            out["must"].append(t[1:])
+        elif raw.startswith("-") and len(t) > 1:
+            out["must_not"].append(t[1:])
+        else:
+            out["should"].append(t)
+    for k in ("should", "must", "must_not"):
+        out[k] = sorted(set(out[k]))
+    return out
+
+
 def fulltext_topk(index: DataFrame, query: str, k: int,
-                  round_dp: int | None = None) -> DataFrame:
-    """Score = sum of index weights over query terms (plain-text query
-    only, like the reference CLI — cli.py:309-315). The per-term join
+                  round_dp: int | None = None,
+                  lucene: bool = False) -> DataFrame:
+    """Score = sum of index weights over query terms. The per-term join
     is a broadcast of the tiny query-term list. ``round_dp`` rounds the
-    (addition-order-dependent) sum before the ordering/cut."""
-    terms = sorted({t for t in
-                    query.lower().replace(",", " ").split() if t})
-    if not terms:
-        return index.sparkSession.createDataFrame([], "id string, score double")
+    (addition-order-dependent) sum before the ordering/cut.
+
+    ``lucene=True`` enables the Lucene-lite operators (+term, -term,
+    "phrases" — see :func:`parse_lucene_lite`): required terms/phrase
+    words become per-doc MUST predicates (semi-join style, counted
+    against the matched-term set), excluded terms an anti-join. The
+    default plain-text path is the reference-CLI behavior."""
     spark = index.sparkSession
-    qdf = spark.createDataFrame([(t,) for t in terms], ["tok"])
+    empty = spark.createDataFrame([], "id string, score double")
+    if lucene:
+        q = parse_lucene_lite(query)
+        must = sorted(set(q["must"]) | {w for p in q["phrases"] for w in p})
+        scored_terms = sorted(set(q["should"]) | set(must))
+    else:
+        must = []
+        scored_terms = sorted({t for t in
+                               query.lower().replace(",", " ").split() if t})
+        q = {"must_not": []}
+    if not scored_terms:
+        return empty
+    qdf = spark.createDataFrame(
+        [(t, t in must) for t in scored_terms], ["tok", "required"])
     score = F.sum("weight")
     if round_dp is not None:
         score = F.bround(score, round_dp)
-    return (
+    hits = (
         index.join(F.broadcast(qdf), "tok")
         .groupBy("id")
-        .agg(score.alias("score"))
-        .orderBy(F.col("score").desc(), F.col("id"))
+        .agg(score.alias("score"),
+             F.sum(F.col("required").cast("int")).alias("_req_hits"))
+    )
+    if must:
+        # every required term must have matched (term-set semantics;
+        # adjacency within phrases is not index-expressible here)
+        hits = hits.filter(F.col("_req_hits") >= len(must))
+    hits = hits.drop("_req_hits")
+    if q["must_not"]:
+        bad = spark.createDataFrame([(t,) for t in q["must_not"]], ["tok"])
+        excluded = index.join(F.broadcast(bad), "tok").select("id").distinct()
+        hits = hits.join(excluded, "id", "left_anti")
+    return (
+        hits.orderBy(F.col("score").desc(), F.col("id"))
         .limit(k)
     )
 

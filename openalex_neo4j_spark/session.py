@@ -38,6 +38,13 @@ def get_spark(
         # batch can overflow the on-heap column vector on binary columns
         .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # disk blocks (shuffle + checkpoint) larger than this are read
+        # via FileChannel.map; with tens of concurrent readers on one
+        # kernel the mmap/munmap syscalls serialize on the address-space
+        # lock (thread dumps: map0/unmap0 storms, 95% sys time).
+        # Streaming reads sidestep it entirely; on a real cluster each
+        # executor host has its own kernel so either setting works.
+        .config("spark.storage.memoryMapThreshold", "2g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.warehouse.dir",
                 os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark-warehouse"))

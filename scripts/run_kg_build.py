@@ -30,6 +30,14 @@ def main() -> int:
     ap.add_argument("--count-only", action="store_true",
                     help="skip table writes; time build + triples count "
                          "(scaling-bench mode)")
+    ap.add_argument("--warmup-pages", type=int, default=0,
+                    help="run the identical pipeline on this many pages "
+                         "first, untimed: JVM JIT + whole-stage-codegen "
+                         "warmup so the timed pass measures steady-state "
+                         "throughput (the regime a long job on a real "
+                         "cluster runs in; a fresh local JVM front-loads "
+                         "~30s of C2-compile/codegen cost onto the first "
+                         "few jobs regardless of data size)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -51,31 +59,36 @@ def main() -> int:
     if args.count_only:
         from openalex_neo4j_spark.extract import mentions_from_pages
         from openalex_neo4j_spark.linking import link_mentions
-        from openalex_neo4j_spark.pipeline import (GraphTables, _named_nodes,
-                                                   author_nodes, build_edges,
-                                                   build_triples,
-                                                   enrich_node_counts,
-                                                   institution_nodes,
-                                                   publisher_nodes,
-                                                   source_nodes, work_nodes)
+        from openalex_neo4j_spark.pipeline import build_graph_from_linked
+
+        def run_pipeline(pg):
+            mm = mentions_from_pages(pg).localCheckpoint()
+            tp = time.time()
+            lk = link_mentions(mm).localCheckpoint()
+            tl = time.time()
+            g = build_graph_from_linked(lk)
+            return g.triples.count(), tp, tl
+
+        if args.warmup_pages > 0:
+            # repartition: limit() collapses to one partition, which
+            # would serialize the whole warmup on a single core
+            ncores = spark.sparkContext.defaultParallelism
+            run_pipeline(
+                pages.limit(args.warmup_pages)
+                .repartition(ncores).localCheckpoint())
+            # drop the warmup's checkpoint blocks before the timed
+            # pass: python GC releases the DataFrame refs, JVM GC lets
+            # the ContextCleaner unpersist the orphaned RDD blocks
+            import gc
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(2)
 
         t0 = time.time()
-        mentions = mentions_from_pages(pages).localCheckpoint()
-        t_parse = time.time() - t0
-        linked = link_mentions(mentions).localCheckpoint()
-        t_link = time.time() - t0 - t_parse
-        nodes = {
-            "Work": work_nodes(linked), "Author": author_nodes(linked),
-            "Institution": institution_nodes(linked),
-            "Source": source_nodes(linked),
-            "Topic": _named_nodes(linked, "topics", "topic"),
-            "Funder": _named_nodes(linked, "funders", "funder"),
-            "Publisher": publisher_nodes(linked),
-        }
-        edges = build_edges(linked, nodes["Work"])
-        nodes = enrich_node_counts(nodes, edges, linked)
-        n_triples = build_triples(nodes, edges).count()
+        n_triples, t_p, t_l = run_pipeline(pages)
         wall = time.time() - t0
+        t_parse = t_p - t0
+        t_link = t_l - t_p
         print(json.dumps({
             "triples": n_triples,
             "pipeline_sec": round(wall, 2),

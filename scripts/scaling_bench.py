@@ -67,10 +67,19 @@ def run_once(cores: int, pages_path: str, zpath: str) -> dict:
         # binary html rows are ~16KB: the default 4096-row columnar
         # batch overflows the on-heap column vector
         "--conf", "spark.sql.parquet.columnarReaderBatchSize=512",
+        # stream disk blocks instead of mmap: concurrent map0/unmap0 on
+        # one kernel serializes on the mmap lock (see session.py)
+        "--conf", "spark.storage.memoryMapThreshold=2g",
         "--py-files", zpath,
         os.path.join(REPO, "scripts", "run_kg_build.py"),
         "--pages", pages_path, "--out", f"/tmp/kg_scale_{cores}",
         "--count-only",
+        # steady-state measurement: one untimed pass over a small page
+        # sample first compiles the whole-stage-codegen classes and C2
+        # JIT paths (a fresh JVM front-loads ~30s onto the first jobs
+        # regardless of input size; a real long-running cluster job is
+        # always in the warm regime). Same warmup both legs.
+        "--warmup-pages", os.environ.get("SCALE_WARMUP", "4000"),
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
     last = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]

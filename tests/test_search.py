@@ -175,3 +175,54 @@ class TestModelSwitch:
             df, "text", "emb", model_name="all-MiniLM-L6-v2").collect()}
         assert len(out["a"]) == EMBED_DIM      # 384-dim contract both ways
         assert out["b"] is None and out["c"] is None  # empty -> null
+
+
+class TestLuceneLite:
+    """M6 depth: +term / -term / "phrase" operators over the inverted
+    index (Neo4j fulltext accepts Lucene syntax; the reference CLI only
+    sends plain text — cli.py:309-315 — which stays the default path)."""
+
+    def _index(self, spark):
+        docs = spark.createDataFrame(
+            [("d1", "graph neural networks for citation analysis"),
+             ("d2", "neural machine translation"),
+             ("d3", "graph databases and query planning"),
+             ("d4", "citation graph mining with neural models")],
+            ["id", "text"])
+        return build_fulltext_index(docs)
+
+    def test_parse(self):
+        from openalex_neo4j_spark.search import parse_lucene_lite
+        q = parse_lucene_lite('+graph -translation "citation analysis" neural')
+        assert q["must"] == ["graph"]
+        assert q["must_not"] == ["translation"]
+        assert q["phrases"] == [["citation", "analysis"]]
+        assert q["should"] == ["neural"]
+
+    def test_required_term(self, spark):
+        from openalex_neo4j_spark.search import fulltext_topk
+        ids = {r["id"] for r in
+               fulltext_topk(self._index(spark), "+graph neural", 10,
+                             lucene=True).collect()}
+        assert ids == {"d1", "d3", "d4"}  # d2 has 'neural' but no 'graph'
+
+    def test_excluded_term(self, spark):
+        from openalex_neo4j_spark.search import fulltext_topk
+        ids = {r["id"] for r in
+               fulltext_topk(self._index(spark), "neural -translation", 10,
+                             lucene=True).collect()}
+        assert ids == {"d1", "d4"}
+
+    def test_phrase_words_required(self, spark):
+        from openalex_neo4j_spark.search import fulltext_topk
+        ids = {r["id"] for r in
+               fulltext_topk(self._index(spark), '"citation graph"', 10,
+                             lucene=True).collect()}
+        assert ids == {"d1", "d4"}  # both words must match
+
+    def test_default_path_unchanged(self, spark):
+        # plain-text path ignores operators-as-text (reference parity)
+        from openalex_neo4j_spark.search import fulltext_topk
+        idx = self._index(spark)
+        a = fulltext_topk(idx, "graph neural", 10).collect()
+        assert {r["id"] for r in a} == {"d1", "d2", "d3", "d4"}
