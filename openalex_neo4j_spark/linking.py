@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from openalex_neo4j_spark.operators.cc import connected_components_auto
+from openalex_neo4j_spark.session import ckpt
 
 NUM_HASHES = 16
 BAND_SIZE = 2
@@ -125,7 +126,8 @@ def _minhash_bands(titles: DataFrame, extra_cols: list[str] | None = None
 
 
 def _tfidf_weights(titles: DataFrame,
-                   only_tids: DataFrame | None = None) -> DataFrame:
+                   only_tids: DataFrame | None = None,
+                   n_docs: int | None = None) -> DataFrame:
     """(tid, tok, w, nrm): TF-IDF weights over distinct group titles.
 
     Input: (tid, t). Tokens are hashed to longs as well, so the
@@ -146,7 +148,8 @@ def _tfidf_weights(titles: DataFrame,
         .groupBy("tid", "tok")
         .agg(F.count("*").alias("tf"))
     )
-    n_docs = titles.count()
+    if n_docs is None:
+        n_docs = titles.count()
     # tf rows are unique on (tid, tok) — plain count IS the doc freq
     df_tok = tf.groupBy("tok").agg(F.count("*").alias("df"))
     if only_tids is not None:
@@ -190,20 +193,28 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
             F.min("work_key").alias("canon_key"),
             F.min("publication_year").alias("gyear"),
         )
-        .localCheckpoint()
     )
+    grp = ckpt(grp)
 
-    orphan_groups = grp.filter(F.col("canon_key").isNull())
+    # one driver round-trip answers both "any orphans?" and the
+    # TF-IDF document count (two separate actions otherwise — driver
+    # latency is the core-count-independent term in the scaling bench)
+    _counts = grp.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("canon_key").isNull(), 1)).alias("n_orph"),
+    ).collect()[0]
+    n_groups, n_orphans = _counts["n"], _counts["n_orph"]
 
     comp_map = None
-    if not orphan_groups.isEmpty():
+    if n_orphans > 0:
         # (3) LSH candidates: one banding pass over all group titles
         # (orphans flagged); orphan rows join against the full set
         all_bands = _minhash_bands(
             grp.select(F.col("norm_title").alias("t"), F.col("tid"),
                        F.col("canon_key").isNull().alias("is_orphan")),
             extra_cols=["tid", "is_orphan"],
-        ).drop("t").localCheckpoint()
+        ).drop("t")
+        all_bands = ckpt(all_bands)
         orphan_bands = all_bands.filter(F.col("is_orphan"))
         cand = (
             orphan_bands.alias("o")
@@ -227,7 +238,7 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
         ).join(canon_tids.withColumnRenamed("ct", "tb"), "tb", "left_semi")
         # checkpoint: cand feeds cand_tids, the scoring join, and the
         # year filter -- without this the LSH banding DAG re-executes
-        cand = cand.join(both_canon, ["ta", "tb"], "left_anti").localCheckpoint()
+        cand = ckpt(cand.join(both_canon, ["ta", "tb"], "left_anti"))
 
         # (4) TF-IDF cosine over candidate title pairs (only longs +
         # doubles move through the scoring shuffles)
@@ -236,9 +247,14 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
             .union(cand.select(F.col("tb").alias("tid")))
             .distinct()
         )
+        # checkpoint: wa/wb below are two references to this plan in
+        # the same scoring job — unmaterialized, each branch would
+        # recompute the whole TF-IDF tree (tf explode over every title
+        # included) once
         weights = _tfidf_weights(
             grp.select(F.col("tid"), F.col("norm_title").alias("t")),
-            only_tids=cand_tids)
+            only_tids=cand_tids, n_docs=n_groups)
+        weights = ckpt(weights)
         wa = weights.select(F.col("tid").alias("ta"), "tok",
                             F.col("w").alias("w_a"), F.col("nrm").alias("n_a"))
         wb = weights.select(F.col("tid").alias("tb"), "tok",
@@ -263,7 +279,8 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
             )
             .select(F.col("ta").cast("string").alias("src"),
                     F.col("tb").cast("string").alias("dst"))
-        ).localCheckpoint()
+        )
+        fuzzy_edges = ckpt(fuzzy_edges)
 
         # (5) connected components over the (tiny) group graph. The
         # component id is an arbitrary-but-deterministic representative

@@ -138,14 +138,23 @@ def write_graph(g: GraphTables, root: str,
     spark = g.edges.sparkSession
     counts: dict[str, int] = {}
     t0 = time.time()
-    for label, df in g.nodes.items():
-        path = f"{root}/nodes_{label.lower()}"
-        _write(df, path)
-        counts[label] = spark.read.parquet(path).count()
-    _write(g.edges, f"{root}/edges", partition_by=["pred"])
-    counts["edges"] = spark.read.parquet(f"{root}/edges").count()
-    _write(g.triples, f"{root}/triples", partition_by=["pred"])
-    counts["triples"] = spark.read.parquet(f"{root}/triples").count()
+    # all tables are independent outputs of already-checkpointed plans:
+    # write them as concurrent jobs (a sequential loop serializes ~9
+    # driver-blocking actions whose fixed latency no core count can
+    # shrink); the counts afterwards read parquet footer metadata only
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = [(label, f"{root}/nodes_{label.lower()}", df, None)
+            for label, df in g.nodes.items()]
+    jobs.append(("edges", f"{root}/edges", g.edges, ["pred"]))
+    jobs.append(("triples", f"{root}/triples", g.triples, ["pred"]))
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        futs = [(key, path,
+                 pool.submit(_write, df, path, partition_by=part))
+                for key, path, df, part in jobs]
+        for key, path, f in futs:
+            f.result()
+            counts[key] = spark.read.parquet(path).count()
     if with_search_indexes:
         from openalex_neo4j_spark.search import work_fulltext_index
 

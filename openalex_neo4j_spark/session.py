@@ -13,6 +13,44 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Static engine configuration, shared by get_spark() and the
+# spark-submit wrappers (scripts/scaling_bench.py emits each entry as a
+# --conf flag so submitted jobs run under identical settings).
+SPARK_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # sized for heavy rows: pages.html is 15-50KB, so 10k-row arrow
+    # batches would be 150-500MB allocations per in-flight task
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "500",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # pages.html rows are tens of KB; the 4096-row default columnar
+    # batch can overflow the on-heap column vector on binary columns
+    "spark.sql.parquet.columnarReaderBatchSize": "512",
+    # disk blocks (shuffle + checkpoint) larger than this are read
+    # via FileChannel.map; with tens of concurrent readers on one
+    # kernel the mmap/munmap syscalls serialize on the address-space
+    # lock (thread dumps: map0/unmap0 storms, 95% sys time).
+    # Streaming reads sidestep it entirely; on a real cluster each
+    # executor host has its own kernel so either setting works.
+    "spark.storage.memoryMapThreshold": "2g",
+    # shuffle block reads have a separate mmap threshold
+    # (FileSegmentManagedBuffer) — same single-kernel mmap-storm
+    # rationale as above
+    "spark.shuffle.io.memoryMapBytes": "2g",
+    "spark.sql.session.timeZone": "UTC",
+    # constraint propagation walks every operator's constraint set per
+    # optimizer rule; on this engine's wide multi-branch union plans
+    # (8-way triple union, 7-way edge union) it costs whole seconds of
+    # single-threaded driver time per action and enables nothing the
+    # explicit null-guard filters don't already provide
+    "spark.sql.constraintPropagation.enabled": "false",
+    "spark.ui.enabled": "false",
+}
+
+
 def get_spark(
     app_name: str = "openalex-neo4j-spark",
     master: str | None = None,
@@ -25,31 +63,39 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # sized for heavy rows: pages.html is 15-50KB, so 10k-row arrow
-        # batches would be 150-500MB allocations per in-flight task
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # pages.html rows are tens of KB; the 4096-row default columnar
-        # batch can overflow the on-heap column vector on binary columns
-        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        # disk blocks (shuffle + checkpoint) larger than this are read
-        # via FileChannel.map; with tens of concurrent readers on one
-        # kernel the mmap/munmap syscalls serialize on the address-space
-        # lock (thread dumps: map0/unmap0 storms, 95% sys time).
-        # Streaming reads sidestep it entirely; on a real cluster each
-        # executor host has its own kernel so either setting works.
-        .config("spark.storage.memoryMapThreshold", "2g")
-        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.warehouse.dir",
                 os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark-warehouse"))
-        .config("spark.ui.enabled", "false")
     )
+    for k, v in SPARK_CONF.items():
+        b = b.config(k, v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def ckpt(df, level: str | None = None):
+    """Eager lineage-truncating checkpoint for LARGE intermediates.
+
+    Storage level defaults to ``DISK_ONLY`` (overridable via
+    ``SPARK_GRAFT_CKPT_LEVEL``): checkpoint blocks go to
+    ``spark.local.dir`` (node-local SSD on a real executor; tmpfs in
+    the sandbox) instead of the JVM heap. On-heap MEMORY_AND_DISK
+    checkpoint blocks become multi-GB long-lived young-gen survivors,
+    and G1 evacuation pauses stretch from ~100ms to 15s+ (measured:
+    ``G1CollectForAllocation`` VM operations of 15s with 8 GC workers
+    while caching the 300k-work mention table — safepoint time was
+    ~100% of wall). Keeping the heap small and the data in the block
+    store's disk tier is the correct posture for any RAM-rich host.
+
+    Small frames (CC labels, frontier sets, rank vectors) should keep
+    plain ``localCheckpoint()`` — per-iteration disk round-trips cost
+    more than their GC footprint.
+    """
+    import os as _os
+
+    from pyspark import StorageLevel
+
+    name = level or _os.environ.get("SPARK_GRAFT_CKPT_LEVEL", "DISK_ONLY")
+    return df.localCheckpoint(eager=True,
+                              storageLevel=getattr(StorageLevel, name))

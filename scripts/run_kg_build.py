@@ -61,10 +61,12 @@ def main() -> int:
         from openalex_neo4j_spark.linking import link_mentions
         from openalex_neo4j_spark.pipeline import build_graph_from_linked
 
+        from openalex_neo4j_spark.session import ckpt
+
         def run_pipeline(pg):
-            mm = mentions_from_pages(pg).localCheckpoint()
+            mm = ckpt(mentions_from_pages(pg))
             tp = time.time()
-            lk = link_mentions(mm).localCheckpoint()
+            lk = ckpt(link_mentions(mm))
             tl = time.time()
             g = build_graph_from_linked(lk)
             return g.triples.count(), tp, tl
@@ -75,7 +77,7 @@ def main() -> int:
             ncores = spark.sparkContext.defaultParallelism
             run_pipeline(
                 pages.limit(args.warmup_pages)
-                .repartition(ncores).localCheckpoint())
+                .repartition(ncores).persist())
             # drop the warmup's checkpoint blocks before the timed
             # pass: python GC releases the DataFrame refs, JVM GC lets
             # the ContextCleaner unpersist the orphaned RDD blocks

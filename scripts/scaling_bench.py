@@ -58,18 +58,26 @@ def run_once(cores: int, pages_path: str, zpath: str) -> dict:
         # task durations (partitions == cores leaves cores idle behind
         # the slowest task). Same rule both legs — fair comparison.
         "--conf", f"spark.sql.shuffle.partitions={4 * cores}",
-        "--conf", "spark.ui.enabled=false",
-        "--conf", "spark.sql.adaptive.enabled=true",
         # the link-stage shuffles are small (fixed-width keys, ~MBs):
         # AQE's 1MB floor would coalesce them to 1-2 partitions and
         # serialize the middle of the pipeline at any core count
         "--conf", "spark.sql.adaptive.coalescePartitions.minPartitionSize=64k",
-        # binary html rows are ~16KB: the default 4096-row columnar
-        # batch overflows the on-heap column vector
-        "--conf", "spark.sql.parquet.columnarReaderBatchSize=512",
-        # stream disk blocks instead of mmap: concurrent map0/unmap0 on
-        # one kernel serializes on the mmap lock (see session.py)
-        "--conf", "spark.storage.memoryMapThreshold=2g",
+        # shuffle/checkpoint blocks on tmpfs: the sandbox has ONE slow
+        # virtual disk (ext4 on /dev/vda, ~180MB/s, journal+writeback
+        # serialize under 32 concurrent writers — event-log evidence:
+        # 3438s of 8813s total task time was shuffle WRITE time). A
+        # real cluster gives each executor its own local SSDs; tmpfs is
+        # the faithful per-executor-local-storage proxy on this box.
+        "--conf", f"spark.local.dir=/dev/shm/spark-local-{cores}",
+    ]
+    # identical engine settings as library sessions (session.SPARK_CONF:
+    # AQE, 64MB broadcast threshold, Arrow batch sizing, columnar batch
+    # size, mmap thresholds, UTC) — submitted jobs must not silently run
+    # under different join/exchange planning than the tested library
+    from openalex_neo4j_spark.session import SPARK_CONF
+    for k, v in SPARK_CONF.items():
+        cmd += ["--conf", f"{k}={v}"]
+    cmd += [
         "--py-files", zpath,
         os.path.join(REPO, "scripts", "run_kg_build.py"),
         "--pages", pages_path, "--out", f"/tmp/kg_scale_{cores}",

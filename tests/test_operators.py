@@ -141,6 +141,18 @@ class TestSimilarity:
         assert (0, 1) in got
         assert (0, 2) not in got
 
+    def test_pairwise_unblocked_guard(self, spark, monkeypatch):
+        # O(N^2) refusal above the guard unless explicitly overridden
+        import openalex_neo4j_spark.operators.similarity as sim
+        monkeypatch.setattr(sim, "PAIRWISE_MAX_UNBLOCKED_ROWS", 3)
+        vecs = spark.createDataFrame(
+            [(i, [1.0, 0.0]) for i in range(5)], ["vec_id", "embedding"])
+        with pytest.raises(ValueError, match="O\\(N\\^2\\)"):
+            sim.pairwise_cosine(vecs, 0.9)
+        # explicit override still works
+        n = sim.pairwise_cosine(vecs, 0.9, allow_full_cross=True).count()
+        assert n == 10  # all 5*4/2 identical-vector pairs
+
 
 class TestText:
     def test_token_count(self, docs):
