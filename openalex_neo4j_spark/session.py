@@ -41,12 +41,6 @@ SPARK_CONF: dict[str, str] = {
     # rationale as above
     "spark.shuffle.io.memoryMapBytes": "2g",
     "spark.sql.session.timeZone": "UTC",
-    # constraint propagation walks every operator's constraint set per
-    # optimizer rule; on this engine's wide multi-branch union plans
-    # (8-way triple union, 7-way edge union) it costs whole seconds of
-    # single-threaded driver time per action and enables nothing the
-    # explicit null-guard filters don't already provide
-    "spark.sql.constraintPropagation.enabled": "false",
     "spark.ui.enabled": "false",
 }
 

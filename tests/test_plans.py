@@ -114,3 +114,22 @@ def test_kg_scan_prunes_html_from_non_extract_paths(spark, tmp_path):
     langs = pages.groupBy("lang").count()
     scans = pruned_scan_columns(langs)
     assert scans and all("html" not in c for c in scans)
+
+
+def test_ckpt_storage_level_is_disk_only(spark):
+    """Large-intermediate checkpoints must NOT hold blocks on-heap:
+    on-heap checkpoint blocks become multi-GB young-gen survivors and
+    G1 evacuation pauses stretch to seconds (measured 15s
+    G1CollectForAllocation at 300k works — see session.ckpt)."""
+    from openalex_neo4j_spark.session import ckpt
+
+    df = ckpt(spark.range(100).toDF("x"))
+    assert df.count() == 100
+    # df.rdd rebuilds a fresh RDD; the checkpoint's blocks are visible
+    # only through the block-manager storage info
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert infos, "no cached RDDs found after eager ckpt"
+    newest = max(infos, key=lambda i: i.id())
+    assert newest.memSize() == 0, "ckpt blocks must not sit on-heap"
+    assert newest.diskSize() > 0
+    assert "Disk" in newest.storageLevel().description()
