@@ -194,7 +194,7 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
             F.min("publication_year").alias("gyear"),
         )
     )
-    grp = ckpt(grp)
+    grp = ckpt(grp, eager=False)
 
     # one driver round-trip answers both "any orphans?" and the
     # TF-IDF document count (two separate actions otherwise — driver
@@ -238,7 +238,8 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
         ).join(canon_tids.withColumnRenamed("ct", "tb"), "tb", "left_semi")
         # checkpoint: cand feeds cand_tids, the scoring join, and the
         # year filter -- without this the LSH banding DAG re-executes
-        cand = ckpt(cand.join(both_canon, ["ta", "tb"], "left_anti"))
+        cand = ckpt(cand.join(both_canon, ["ta", "tb"], "left_anti"),
+                    eager=False)
 
         # (4) TF-IDF cosine over candidate title pairs (only longs +
         # doubles move through the scoring shuffles)
@@ -280,7 +281,7 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
             .select(F.col("ta").cast("string").alias("src"),
                     F.col("tb").cast("string").alias("dst"))
         )
-        fuzzy_edges = ckpt(fuzzy_edges)
+        fuzzy_edges = ckpt(fuzzy_edges, eager=False)
 
         # (5) connected components over the (tiny) group graph. The
         # component id is an arbitrary-but-deterministic representative

@@ -353,7 +353,7 @@ def build_graph(pages: DataFrame, skip_abstracts: bool = False,
                 embedding_model: str | None = None) -> GraphTables:
     # checkpoint: the Arrow-parse stage feeds both the group aggregation
     # and the final mention join — materialize it exactly once
-    mentions = ckpt(mentions_from_pages(pages))
+    mentions = ckpt(mentions_from_pages(pages), eager=False)
     linked = link_mentions(mentions)
     if skip_abstracts:
         # P10 (importer.py:73-77): drop abstracts behind a config flag
@@ -396,9 +396,23 @@ def build_graph_from_linked(linked: DataFrame,
     # column-pruned subtrees differ per consumer, so Catalyst's
     # ReuseExchange cannot dedupe them). Node/edge tables are tiny
     # relative to the mention corpus, so the barrier cost is O(output).
+    #
+    # Work is checkpointed FIRST: the CITES endpoint semi-join, its own
+    # count enrichment, and the Author citation rollup all reference it
+    # — unmaterialized, the mention-table window dedup would execute
+    # 3-4x. The 7 enriched checkpoints are mutually independent, so
+    # they are submitted concurrently (a sequential loop serializes 7
+    # driver-blocking actions of fixed scheduler latency each — pure
+    # Amdahl in the N-vs-4N scaling bench; the scheduler interleaves
+    # the concurrent jobs across whatever cores exist).
+    nodes["Work"] = ckpt(nodes["Work"], eager=False)
     edges = ckpt(build_edges(linked, nodes["Work"]))
     nodes = enrich_node_counts(nodes, edges, linked)
-    nodes = {label: ckpt(df) for label, df in nodes.items()}
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=len(nodes)) as pool:
+        futs = {label: pool.submit(ckpt, df, None, False)
+                for label, df in nodes.items()}
+        nodes = {label: f.result() for label, f in futs.items()}
     triples = build_triples(nodes, edges)
     return GraphTables(nodes=nodes, edges=edges, triples=triples,
                        mentions=linked)

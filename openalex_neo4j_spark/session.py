@@ -68,7 +68,7 @@ def get_spark(
     return b.getOrCreate()
 
 
-def ckpt(df, level: str | None = None):
+def ckpt(df, level: str | None = None, eager: bool = True):
     """Eager lineage-truncating checkpoint for LARGE intermediates.
 
     Storage level defaults to ``DISK_ONLY`` (overridable via
@@ -85,11 +85,20 @@ def ckpt(df, level: str | None = None):
     Small frames (CC labels, frontier sets, rank vectors) should keep
     plain ``localCheckpoint()`` — per-iteration disk round-trips cost
     more than their GC footprint.
+
+    ``eager=False`` truncates the plan immediately (the logical plan
+    becomes a LogicalRDD leaf either way) but folds materialization
+    into the first consuming job — one driver-blocking action saved
+    per call site. Lazy is ONLY safe when the first consuming job
+    references the plan once: concurrent first-materialization of a
+    multiply-referenced lazy checkpoint duplicates the compute (block
+    population is first-writer-wins, uncoordinated). Keep eager=True
+    where the first consumer is a self-join or a multi-slice union.
     """
     import os as _os
 
     from pyspark import StorageLevel
 
     name = level or _os.environ.get("SPARK_GRAFT_CKPT_LEVEL", "DISK_ONLY")
-    return df.localCheckpoint(eager=True,
+    return df.localCheckpoint(eager=eager,
                               storageLevel=getattr(StorageLevel, name))

@@ -64,9 +64,16 @@ def main() -> int:
         from openalex_neo4j_spark.session import ckpt
 
         def run_pipeline(pg):
-            mm = ckpt(mentions_from_pages(pg))
+            # lazy ckpt + explicit count per stage: the count is both
+            # the stage-timing boundary AND the materialization barrier
+            # (downstream jobs reference these multiply — lazy-first-use
+            # would duplicate the whole upstream compute; see
+            # session.ckpt)
+            mm = ckpt(mentions_from_pages(pg), eager=False)
+            mm.count()
             tp = time.time()
-            lk = ckpt(link_mentions(mm))
+            lk = ckpt(link_mentions(mm), eager=False)
+            lk.count()
             tl = time.time()
             g = build_graph_from_linked(lk)
             return g.triples.count(), tp, tl
