@@ -98,18 +98,25 @@ def run_once(cores: int, pages_path: str, zpath: str) -> dict:
 
 
 def main() -> int:
-    n_works = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    # arg 1: either n_works (int) or a path to an existing pages
+    # parquet directory (e.g. the sharded 800k-page corpus)
+    arg1 = sys.argv[1] if len(sys.argv) > 1 else "20000"
     filler = int(sys.argv[2]) if len(sys.argv) > 2 else 400
     cores_a = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     cores_b = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 
-    # build the shared input once (untimed)
-    from bench import ensure_pages_parquet
+    # build (or locate) the shared input once (untimed)
     from openalex_neo4j_spark.session import get_spark
 
-    spark = get_spark(master="local[32]")
+    spark = get_spark(master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
-    pages_path = ensure_pages_parquet(spark, n_works, filler)
+    if os.path.isdir(arg1):
+        pages_path, n_works = arg1, arg1
+    else:
+        from bench import ensure_pages_parquet
+
+        n_works = int(arg1)
+        pages_path = ensure_pages_parquet(spark, n_works, filler)
     n_pages = spark.read.parquet(pages_path).count()
     spark.stop()
 
