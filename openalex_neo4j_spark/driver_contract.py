@@ -520,10 +520,10 @@ def q_status_except(spark, sf):
 # ---------------------------------------------------------------------------
 
 def kg_triples(spark, sf):
-    from openalex_neo4j_spark.corpus import build_world, pages_dataframe
-    from openalex_neo4j_spark.pipeline import build_graph
-    world = build_world(150, seed=42)
-    return build_graph(pages_dataframe(spark, world)).triples
+    """Full (subj, pred, obj) triple table of the 150-work graph, read
+    from the shared build-once materialization (_kg_graph_root)."""
+    return spark.read.parquet(f"{_kg_graph_root(spark)}/triples").select(
+        "subj", "pred", "obj")
 
 
 def kg_citation_rank(spark, sf):
@@ -548,13 +548,12 @@ def kg_top_cited(spark, sf):
     (README.md:288-340) over the built KG: top 20 Work nodes by the
     derived cited_by_count property (CITES in-degree,
     pipeline.enrich_node_counts). Oracle: the same counts computed by
-    DuckDB from the plain-Python oracle triple table."""
-    from openalex_neo4j_spark.corpus import build_world, pages_dataframe
-    from openalex_neo4j_spark.pipeline import build_graph
-    world = build_world(150, seed=42)
-    g = build_graph(pages_dataframe(spark, world))
+    DuckDB from the plain-Python oracle triple table. Reads the shared
+    build-once materialization (_kg_graph_root) instead of rebuilding
+    the 150-work graph per invocation."""
+    work = spark.read.parquet(f"{_kg_graph_root(spark)}/nodes_work")
     return (
-        g.nodes["Work"]
+        work
         .select("id", F.col("cited_by_count").cast("long")
                 .alias("cited_by_count"))
         .orderBy(F.col("cited_by_count").desc(), "id")
@@ -562,12 +561,14 @@ def kg_top_cited(spark, sf):
     )
 
 
-def _kg_edges_cached(spark, n_works: int = 150):
-    """Build-once edge table for the README graph-query surface
-    (README.md:330-357): the graph at (n_works, seed 42) is materialized
-    to /tmp parquet on first use and read back afterwards — the query
-    contract functions below are *queries over a built graph*, not
-    re-runs of the build."""
+def _kg_graph_root(spark, n_works: int = 150) -> str:
+    """Build-once graph tables for the README graph-query surface
+    (README.md:330-357): the graph at (n_works, seed 42) is
+    materialized to /tmp parquet on first use and read back afterwards
+    — the query contract functions below are *queries over a built
+    graph*, not re-runs of the build. Shared by kg_triples /
+    kg_top_cited / kg_collaborators / kg_institution_works /
+    kg_cocited_pairs (one build instead of one per query)."""
     import os
 
     from openalex_neo4j_spark.corpus import build_world, pages_dataframe
@@ -576,10 +577,21 @@ def _kg_edges_cached(spark, n_works: int = 150):
     from openalex_neo4j_spark.pipeline import build_graph
 
     root = f"/tmp/spark_graft_kg_edges_w{n_works}_s42_{KG_CACHE_VERSION}"
-    if not os.path.exists(f"{root}/edges"):
+    # cache validity is gated on an explicit completion marker, not
+    # bare directory existence: a crashed/concurrent prior build leaves
+    # a partial parquet dir that os.path.exists would accept, silently
+    # serving truncated edges to every graph query.
+    if not os.path.exists(f"{root}/_GRAFT_COMPLETE"):
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
         world = build_world(n_works, seed=42)
         write_graph(build_graph(pages_dataframe(spark, world)), root)
-    return spark.read.parquet(f"{root}/edges")
+        open(f"{root}/_GRAFT_COMPLETE", "w").close()
+    return root
+
+
+def _kg_edges_cached(spark, n_works: int = 150):
+    return spark.read.parquet(f"{_kg_graph_root(spark, n_works)}/edges")
 
 
 def kg_collaborators(spark, sf):
@@ -652,10 +664,15 @@ def kg_hybrid_search(spark, sf):
 
     world = build_world(100, seed=42)
     root = f"/tmp/spark_graft_hybrid_w100_s42_{KG_CACHE_VERSION}"
-    if not os.path.exists(f"{root}/index_fulltext"):
+    # completion-marker gate (see _kg_edges_cached): never trust a
+    # bare directory left by a crashed prior write
+    if not os.path.exists(f"{root}/_GRAFT_COMPLETE"):
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
         g = build_graph(pages_dataframe(spark, world),
                         generate_embeddings=True)
         write_graph(g, root, with_search_indexes=True)
+        open(f"{root}/_GRAFT_COMPLETE", "w").close()
     nodes = {
         label: spark.read.parquet(f"{root}/nodes_{label.lower()}")
         for label in ("Work", "Author", "Institution", "Source",

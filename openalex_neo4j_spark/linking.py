@@ -80,11 +80,17 @@ def _minhash_bands(titles: DataFrame, extra_cols: list[str] | None = None
     are far cheaper at any scale."""
     extra_cols = extra_cols or []
     arr = F.split(F.col("t"), " ")
-    words = titles.select(
-        "t", *extra_cols, F.size(arr).alias("_n"),
+    # Window partitions by a per-ROW surrogate id, not (t, extra_cols):
+    # if the input ever carried duplicate rows, duplicate _pos values
+    # inside one (t, extras) partition would interleave words across
+    # rows and corrupt the lead()-built shingles ('w0 w0 w1'). The row
+    # id keeps the helper correct for any caller at the same cost (the
+    # window shuffles either way; only the key changes).
+    words = titles.withColumn("_rid", F.monotonically_increasing_id()).select(
+        "t", *extra_cols, "_rid", F.size(arr).alias("_n"),
         F.posexplode(arr).alias("_pos", "_w"),
     )
-    win = Window.partitionBy("t", *extra_cols).orderBy("_pos")
+    win = Window.partitionBy("_rid").orderBy("_pos")
     # shingle at 1-based position i exists for i in
     # 1..greatest(size-2, 1): full 3-word windows, or the whole (short)
     # title when size < 3 (concat_ws skips the null leads)

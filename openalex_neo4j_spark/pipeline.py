@@ -248,6 +248,14 @@ def enrich_node_counts(nodes: dict[str, DataFrame], edges: DataFrame,
     work = nodes["Work"].join(cites_in, "id", "left").withColumn(
         "cited_by_count", F.coalesce(F.col("_cited"), F.lit(0))
     ).drop("_cited")
+    # Checkpoint the enriched Work HERE, before a_cited captures it:
+    # the Author citation rollup below joins against this plan, and a
+    # checkpoint applied by the caller after the fact cannot rewrite
+    # the plan a_cited already embedded — the CITES in-degree
+    # aggregation would re-run once per downstream consumer (event-log
+    # evidence: the edge scan appeared 5x when the enriched tables
+    # fanned out unmaterialized).
+    work = ckpt(work)
 
     authored = edges.filter(F.col("pred") == "AUTHORED").select(
         F.col("subj").alias("author_id"), F.col("obj").alias("work_id"))
@@ -407,22 +415,20 @@ def build_graph_from_linked(linked: DataFrame,
     # the concurrent jobs across whatever cores exist).
     nodes["Work"] = ckpt(nodes["Work"], eager=False)
     edges = ckpt(build_edges(linked, nodes["Work"]))
+    # enrich_node_counts checkpoints the enriched Work table eagerly
+    # BEFORE the Author rollup references it — a checkpoint applied by
+    # this caller after the fact cannot rewrite the plan the rollup
+    # already captured, so the CITES in-degree aggregation would
+    # re-run once per downstream consumer (event-log evidence: the
+    # edge scan appeared 5x when the enriched tables fanned out
+    # unmaterialized). The remaining six enriched tables are mutually
+    # independent: lazy ckpt (truncates the plan immediately, submits
+    # no job), materialized concurrently by the triples job's union
+    # branches.
     nodes = enrich_node_counts(nodes, edges, linked)
-    # Work-enriched FIRST and eager: the Author rollup references it
-    # (cited_by_count sum over authored works) — fanned out together,
-    # the Author thread races the Work thread and re-runs the CITES
-    # in-degree aggregation over the full edge table (event-log
-    # evidence: the edge scan appeared 5x, 8-core assemble did ~2.5x
-    # the task-seconds of the 2-core run). The remaining six enriched
-    # tables are mutually independent: lazy ckpt, materialized
-    # concurrently by the triples job's union branches.
-    nodes["Work"] = ckpt(nodes["Work"])
-    from concurrent.futures import ThreadPoolExecutor
-    rest = {label: df for label, df in nodes.items() if label != "Work"}
-    with ThreadPoolExecutor(max_workers=len(rest)) as pool:
-        futs = {label: pool.submit(ckpt, df, None, False)
-                for label, df in rest.items()}
-        nodes.update({label: f.result() for label, f in futs.items()})
+    for label in nodes:
+        if label != "Work":
+            nodes[label] = ckpt(nodes[label], eager=False)
     triples = build_triples(nodes, edges)
     return GraphTables(nodes=nodes, edges=edges, triples=triples,
                        mentions=linked)

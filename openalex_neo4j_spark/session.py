@@ -35,11 +35,11 @@ SPARK_CONF: dict[str, str] = {
     # lock (thread dumps: map0/unmap0 storms, 95% sys time).
     # Streaming reads sidestep it entirely; on a real cluster each
     # executor host has its own kernel so either setting works.
-    "spark.storage.memoryMapThreshold": "2g",
-    # shuffle block reads have a separate mmap threshold
-    # (FileSegmentManagedBuffer) — same single-kernel mmap-storm
-    # rationale as above
-    "spark.shuffle.io.memoryMapBytes": "2g",
+    # Value must fit in a signed int: TransportConf.memoryMapBytes()
+    # does a checked int cast, so "2g" (2^31) would crash any
+    # networked block-serving path (remote shuffle fetch / block
+    # upload) with IllegalArgumentException. 2047m is the max safe.
+    "spark.storage.memoryMapThreshold": "2047m",
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
 }
