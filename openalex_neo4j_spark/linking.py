@@ -293,13 +293,13 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
         # component id is an arbitrary-but-deterministic representative
         # tid; semantic cluster ids below come from canon_key /
         # norm_title minima, never from the component id itself.
-        # One count decides both the empty-check and the CC strategy —
-        # no separate isEmpty job.
-        n_fuzzy = fuzzy_edges.count()
-        if n_fuzzy > 0:
-            comp_map = connected_components_auto(
-                fuzzy_edges, n_edges=n_fuzzy
-            ).select(
+        # ONE driver action for empty-check + strategy decision +
+        # driver-path collect (connected_components_auto probes with
+        # limit+toPandas and returns None on an empty edge set) — the
+        # former count-then-collect chain was two serial round-trips.
+        cc = connected_components_auto(fuzzy_edges)
+        if cc is not None:
+            comp_map = cc.select(
                 F.col("node").cast("long").alias("tid"), F.col("component"))
 
     if comp_map is not None:

@@ -10,8 +10,9 @@ of the match graph.
 Implementation: label propagation to the component minimum
 (hash-to-min, Rastogi et al. 2012 style simplification). Each
 iteration is one shuffle (join labels->edges + min-aggregate);
-``localCheckpoint`` truncates lineage so plans stay bounded on long
-chains. Convergence is checked by counting changed labels; clusters
+``session.iter_ckpt`` truncates lineage so plans stay bounded on long
+chains — a reliable ``checkpoint()`` (survives executor loss) when a
+checkpoint dir is configured, ``localCheckpoint`` otherwise. Convergence is checked by counting changed labels; clusters
 here are small (duplicate-mention groups), so iterations ~ O(log d)
 with tiny d.
 """
@@ -19,6 +20,8 @@ with tiny d.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from openalex_neo4j_spark.session import iter_ckpt
 
 # Below this edge count the component graph fits comfortably on the
 # driver and a local union-find beats 2 shuffles/iteration of the
@@ -54,27 +57,37 @@ def connected_components_auto(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     max_driver_edges: int = DRIVER_CC_MAX_EDGES,
     n_edges: int | None = None,
-) -> DataFrame:
+) -> DataFrame | None:
     """Size-guarded CC: contracted match graphs are usually tiny
-    relative to the corpus (groups, not mentions), so count the edges
-    cheaply and collect+union-find under the threshold; fall back to
-    the distributed hash-to-min loop above it. Pass ``n_edges`` when
-    the caller already counted (skips one job)."""
-    n = edges.count() if n_edges is None else n_edges
-    if n <= max_driver_edges:
-        import pandas as pd
+    relative to the corpus (groups, not mentions). Strategy decision
+    and the driver-path collect are ONE job: ``limit(max+1)`` +
+    Arrow ``toPandas`` — if at most ``max_driver_edges`` rows come
+    back, that same result feeds the union-find (no separate count
+    action; driver round-trips are the core-count-independent term in
+    the scaling bench); only an over-threshold graph pays a second
+    job and runs the distributed hash-to-min loop. Pass ``n_edges``
+    when the caller already counted (skips the probe entirely).
 
-        # toPandas/createDataFrame(pandas) ride the Arrow path — the
-        # row-wise Py4J pickle round-trip costs seconds at 10^5 rows
-        # and is pure driver-serial time (Amdahl) in the link stage
-        pdf = edges.select(F.col(src), F.col(dst)).toPandas()
-        rows = list(zip(pdf[src], pdf[dst]))
-        spark = edges.sparkSession
-        comp = driver_union_find(rows)
-        out = pd.DataFrame(comp or [("", "")],
-                           columns=["node", "component"])
-        return spark.createDataFrame(out).filter(F.col("node") != "")
-    return connected_components(edges, src, dst)
+    Returns ``None`` when the edge set is empty — callers treat that
+    as "no merges" without having run a count of their own."""
+    import pandas as pd
+
+    spark = edges.sparkSession
+    if n_edges is not None and n_edges > max_driver_edges:
+        return connected_components(edges, src, dst)
+    # toPandas/createDataFrame(pandas) ride the Arrow path — the
+    # row-wise Py4J pickle round-trip costs seconds at 10^5 rows
+    # and is pure driver-serial time (Amdahl) in the link stage
+    pdf = (edges.select(F.col(src), F.col(dst))
+           .limit(max_driver_edges + 1).toPandas())
+    if len(pdf) == 0:
+        return None
+    if len(pdf) > max_driver_edges:
+        return connected_components(edges, src, dst)
+    rows = list(zip(pdf[src], pdf[dst]))
+    comp = driver_union_find(rows)
+    out = pd.DataFrame(comp, columns=["node", "component"])
+    return spark.createDataFrame(out)
 
 
 def connected_components(
@@ -102,12 +115,12 @@ def connected_components(
     # label — the loop then needs no union (a single join + min-agg per
     # iteration, and unions of self-referencing plans are avoided)
     nodes = undirected.select(F.col("a")).distinct()
-    sym = undirected.union(
+    sym = iter_ckpt(undirected.union(
         nodes.select(F.col("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
-    labels = nodes.select(
+    ))
+    labels = iter_ckpt(nodes.select(
         F.col("a").alias("node"), F.col("a").alias("component")
-    ).localCheckpoint()
+    ))
 
     for _ in range(max_iter):
         lab = labels.select(
@@ -135,8 +148,11 @@ def connected_components(
             )
         )
         # checkpoint every iteration: the changed-count action below
-        # would otherwise recompute the whole lineage chain
-        new_labels = new_labels.localCheckpoint()
+        # would otherwise recompute the whole lineage chain.
+        # iter_ckpt = reliable checkpoint when a checkpoint dir is
+        # configured (survives executor loss on a real cluster),
+        # localCheckpoint otherwise (see session.iter_ckpt)
+        new_labels = iter_ckpt(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -8,13 +8,17 @@ algorithms are DataFrame loops with lineage control — the pattern CC
 :func:`citation_rank` — PageRank-style importance over CITES edges:
     r_{t+1}(v) = (1-d) + d * sum over citing works u of r_t(u)/out(u)
 One shuffle per iteration (join on the edge key + sum-aggregate);
-``localCheckpoint`` truncates lineage each round. Non-SQL-expressible
+``session.iter_ckpt`` truncates lineage each round
+(reliable ``checkpoint()`` when a checkpoint dir is configured;
+``localCheckpoint`` in the single-JVM sandbox). Non-SQL-expressible
 (iterative fixpoint) — exposed as a rows-only contract query.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from openalex_neo4j_spark.session import iter_ckpt
 
 
 def citation_rank(
@@ -34,14 +38,15 @@ def citation_rank(
         cites.select(F.col("subj").alias("id"))
         .union(cites.select(F.col("obj").alias("id")))
         .distinct()
-        .localCheckpoint()
     )
+    nodes = iter_ckpt(nodes)
     out_deg = cites.groupBy("subj").agg(F.count("*").alias("out_deg"))
     weighted = cites.join(out_deg, "subj").select(
         "subj", "obj", (F.lit(1.0) / F.col("out_deg")).alias("share")
-    ).localCheckpoint()
+    )
+    weighted = iter_ckpt(weighted)
 
-    ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint()
+    ranks = iter_ckpt(nodes.withColumn("rank", F.lit(1.0)))
     for _ in range(iterations):
         contrib = (
             weighted.join(ranks.withColumnRenamed("id", "subj"), "subj")
@@ -56,6 +61,6 @@ def citation_rank(
                  + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
                  ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        ranks = iter_ckpt(ranks)
     return ranks

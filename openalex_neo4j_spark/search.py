@@ -116,7 +116,15 @@ def make_embed_udf(model_name: str | None = None, batch_size: int = 32):
             if vals:
                 vecs = model.encode(vals, batch_size=batch_size,
                                     convert_to_numpy=True)
-                out[nonempty] = [[float(x) for x in v] for v in vecs]
+                # index-aligned Series assignment: a bare list-of-lists
+                # through the boolean mask is interpreted by pandas as
+                # a 2-D array and raises "cannot assign mismatch length
+                # to masked array" (caught by test_embed_model once the
+                # branch first executed under a fake model module)
+                out[nonempty] = pd.Series(
+                    [[float(x) for x in v] for v in vecs],
+                    index=filled.index[nonempty],
+                )
             yield out
 
     return model_embed_udf

@@ -102,3 +102,34 @@ def ckpt(df, level: str | None = None, eager: bool = True):
     name = level or _os.environ.get("SPARK_GRAFT_CKPT_LEVEL", "DISK_ONLY")
     return df.localCheckpoint(eager=eager,
                               storageLevel=getattr(StorageLevel, name))
+
+
+def iter_ckpt(df, eager: bool = True):
+    """Lineage truncation for ITERATIVE loops (CC label propagation,
+    PageRank) — fault-tolerance selectable per session.
+
+    ``localCheckpoint`` blocks live only on the executor that computed
+    them: on a real cluster, one lost executor makes the RDD
+    unrecoverable and fails the whole job — for a 10^12-document run
+    that is a guaranteed failure mode, not a tail risk. When a
+    checkpoint directory is configured (``SparkContext.setCheckpointDir``
+    by the application, or the ``SPARK_GRAFT_CHECKPOINT_DIR`` env var
+    pointing at shared storage — HDFS/S3 on a cluster), iterative
+    loops use *reliable* ``DataFrame.checkpoint()``: blocks are written
+    to that directory and survive executor loss.
+
+    With no directory configured (the single-JVM sandbox, where
+    executor loss IS job loss anyway), falls back to
+    ``localCheckpoint`` — per-iteration distributed-FS round-trips
+    would cost more than they protect there.
+    """
+    import os as _os
+
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        d = _os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        if d:
+            sc.setCheckpointDir(d)
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

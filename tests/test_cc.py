@@ -67,3 +67,43 @@ def test_distributed_path_matches_union_find(spark):
     # every component labeled by its min member
     for node, comp in dist.items():
         assert comp <= node
+
+
+def test_auto_empty_edges_returns_none(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert connected_components_auto(df) is None
+
+
+def test_auto_driver_path_matches_union_find(spark):
+    pairs = [("a", "b"), ("b", "c"), ("x", "y")]
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    got = {r["node"]: r["component"]
+           for r in connected_components_auto(df).collect()}
+    assert got == dict(driver_union_find(pairs))
+
+
+def test_reliable_checkpoint_path_identical(spark, tmp_path, monkeypatch):
+    """With a checkpoint dir configured, the iterative loop uses
+    reliable DataFrame.checkpoint() (fault-tolerant: blocks live in
+    the checkpoint dir, not on a single executor) and produces the
+    identical labeling."""
+    pairs = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(10)]
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    want = {r["node"]: r["component"]
+            for r in connected_components(df).collect()}
+
+    ckdir = str(tmp_path / "reliable_ck")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ckdir)
+    try:
+        got = {r["node"]: r["component"]
+               for r in connected_components(df).collect()}
+        assert got == want
+        # the reliable path actually wrote checkpoint data there
+        import os
+        assert any(os.scandir(ckdir))
+    finally:
+        # session-scoped spark: clear the dir so later tests fall back
+        # to localCheckpoint
+        getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
+            spark.sparkContext._jvm.scala.Option.apply(None))
+        assert spark.sparkContext.getCheckpointDir() is None
