@@ -250,6 +250,45 @@ def q_simhash(spark, sf):
         F.col("id").alias("doc_id"), "simhash")
 
 
+def q_simhash64(spark, sf):
+    """64-bit SimHash as four 16-bit bands (operators/dedup.py
+    simhash64_signatures — round-2 verdict item 8). Bands are exact
+    ints in every engine (no 2^63 overflow, no double rounding) and
+    double as the Hamming-pigeonhole buckets."""
+    from openalex_neo4j_spark.operators.dedup import simhash64_signatures
+    return simhash64_signatures(_t(spark, sf, "documents")).select(
+        F.col("id").alias("doc_id"), "b0", "b1", "b2", "b3")
+
+
+def _simhash64_oracle_sql() -> str:
+    sums = ",\n    ".join(
+        "SUM(CASE WHEN ((strpos('0123456789abcdef', "
+        f"substr(hx, {b // 4 + 1}, 1)) - 1) >> {b % 4}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64)
+    )
+    bands = ",\n       ".join(
+        "CAST(" + " + ".join(
+            f"CASE WHEN s{16 * k + j} > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(16)
+        ) + f" AS INT) AS b{k}"
+        for k in range(4)
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, md5(tok) AS hx
+  FROM (SELECT doc_id, UNNEST(string_split(text,' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+s AS (
+  SELECT doc_id,
+    {sums}
+  FROM h GROUP BY doc_id)
+SELECT doc_id,
+       {bands}
+FROM s
+"""
+
+
 def q_ngram_jaccard(spark, sf):
     from openalex_neo4j_spark.operators.dedup import (_token_shingles,
                                                       shingle_jaccard)
@@ -350,6 +389,46 @@ def q_salted_status_count(spark, sf):
     from openalex_neo4j_spark.operators.skew import salted_count
     return salted_count(_t(spark, sf, "orders"), ["o_orderstatus"],
                         num_salts=16).select("o_orderstatus", "cnt")
+
+
+def q_image_dims(spark, sf):
+    """REAL image metadata decode end-to-end: per-document deterministic
+    PNG/JPEG/GIF headers are synthesized at the byte level in a
+    distributed pandas stage, then parsed back by the stdlib header
+    parser (operators/multimodal.parse_image_header — PNG IHDR
+    big-endian u32, JPEG SOF marker walk, GIF little-endian u16). The
+    oracle predicts the round-trip arithmetically, so any byte-level
+    bug in synth OR parse breaks the hash."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from openalex_neo4j_spark.operators.multimodal import (
+        image_header_features, synthesize_image_payload)
+
+    d = _t(spark, sf, "documents").select(F.col("doc_id").alias("media_id"))
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fmts = ["png", "jpeg", "gif"]
+        for pdf in it:
+            mids = pdf["media_id"].astype("int64")
+            payloads = [
+                synthesize_image_payload(
+                    fmts[int(m) % 3],
+                    16 + int(m) % 509, 16 + (int(m) * 7) % 509)
+                for m in mids
+            ]
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    from pyspark.sql import types as T
+    media = d.mapInPandas(synth, schema=T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]))
+    return image_header_features(media).select(
+        "media_id", "fmt",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"))
 
 
 def q_multimodal_decode(spark, sf):
@@ -942,6 +1021,14 @@ FROM documents
     "q_salted_status_count": """
 SELECT o_orderstatus, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus
 """,
+    "q_image_dims": """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                       ELSE 'gif' END AS fmt,
+       CAST(16 + doc_id % 509 AS INT) AS width,
+       CAST(16 + (doc_id * 7) % 509 AS INT) AS height
+FROM documents
+""",
     "q_multimodal_decode": """
 WITH h AS (
   SELECT doc_id AS media_id,
@@ -1046,6 +1133,9 @@ FROM events LEFT JOIN bands ON value >= lo AND value < hi
 }
 
 
+ORACLE_SQL["q_simhash64"] = _simhash64_oracle_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_customers_with_orders": q_customers_with_orders,
     "q_customers_without_orders": q_customers_without_orders,
@@ -1068,6 +1158,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_exact_dedup": q_exact_dedup,
     "q_minhash_sigs": q_minhash_sigs,
     "q_simhash": q_simhash,
+    "q_simhash64": q_simhash64,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_embedding_topk": q_embedding_topk,
     "q_srp_buckets": q_srp_buckets,
@@ -1077,6 +1168,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fingerprint": q_fingerprint,
     "q_binary_meta": q_binary_meta,
     "q_salted_status_count": q_salted_status_count,
+    "q_image_dims": q_image_dims,
     "q_multimodal_decode": q_multimodal_decode,
     "q_events_hourly": q_events_hourly,
     "q_events_json": q_events_json,

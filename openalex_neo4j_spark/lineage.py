@@ -62,6 +62,19 @@ def stage_done(spark: SparkSession, root: str, stage: str) -> bool:
     return -1 in completed_partitions(spark, root, stage)
 
 
+def bucket_files(files: list[str], num_buckets: int) -> dict[int, list[str]]:
+    """Stable file->bucket assignment: sorted file list, round-robin.
+
+    Deterministic across runs for an immutable input directory (the
+    resume contract assumes the input does not change between the
+    killed run and the resume — standard for batch ETL over an
+    Iceberg/parquet snapshot)."""
+    out: dict[int, list[str]] = {b: [] for b in range(num_buckets)}
+    for i, f in enumerate(sorted(files)):
+        out[i % num_buckets].append(f)
+    return out
+
+
 def resumable_extract(
     spark: SparkSession,
     pages: DataFrame,
@@ -72,6 +85,18 @@ def resumable_extract(
     max_chunks: int | None = None,
 ) -> DataFrame:
     """Extract mentions bucket-by-bucket with per-partition lineage.
+
+    **File-granular chunking**: when ``pages`` is backed by files
+    (``pages.inputFiles()`` non-empty), buckets are assignments of
+    whole input files (``bucket_files``) and each chunk's job reads
+    ONLY its own files — a resume with k of n chunks done re-reads
+    k/n-th of nothing, not the whole corpus. The previous
+    ``pmod(hash(url), n).isin(chunk)`` filter was a computed predicate
+    no row-group statistic can prune, so every chunk commit re-scanned
+    every page row (url+html) and discarded ~(1 - chunk/n) of them —
+    at 100 TB that multiplies the most expensive scan in the system by
+    the number of chunks. For non-file-backed inputs (in-memory test
+    frames) the hash-bucket filter remains as fallback.
 
     ``max_chunks`` limits how many chunk commits this call performs
     (used by tests to simulate a killed run). Returns the mentions
@@ -85,24 +110,49 @@ def resumable_extract(
     todo = [b for b in range(num_buckets) if b not in done]
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    bucket_col = F.pmod(F.hash(F.col("url")), F.lit(num_buckets))
+
+    files = sorted(pages.inputFiles())
+    by_bucket = bucket_files(files, num_buckets) if files else None
+    schema = pages.schema
 
     chunks = [todo[i:i + chunk_size] for i in range(0, len(todo), chunk_size)]
     if max_chunks is not None:
         chunks = chunks[:max_chunks]
     for chunk in chunks:
         t0 = time.time()
-        part = pages.filter(bucket_col.isin(chunk))
         # exactly ONE pass over the html-bearing pages scan per chunk:
         # the extraction write. Bookkeeping counts come from the (much
         # narrower) mentions output read back with partition pruning;
         # input_rows stays null — counting it would re-scan pages.
-        mentions = mentions_from_pages(part).withColumn(
-            "bucket", F.pmod(F.hash(F.col("url")), F.lit(num_buckets))
-        )
-        mentions.write.mode("overwrite").partitionBy("bucket").parquet(out)
-        out_rows = spark.read.parquet(out).filter(
-            F.col("bucket").isin(chunk)).count()
+        if by_bucket is not None:
+            parts = []
+            for b in chunk:
+                if not by_bucket[b]:
+                    continue
+                # per-bucket scan over exactly that bucket's files;
+                # the bucket id is a literal, not a computed column
+                bdf = spark.read.schema(schema).parquet(*by_bucket[b])
+                parts.append(
+                    mentions_from_pages(bdf)
+                    .withColumn("bucket", F.lit(b)))
+            if parts:
+                mentions = parts[0]
+                for p in parts[1:]:
+                    mentions = mentions.unionByName(p)
+                mentions.write.mode("overwrite").partitionBy(
+                    "bucket").parquet(out)
+        else:
+            bucket_col = F.pmod(F.hash(F.col("url")), F.lit(num_buckets))
+            part = pages.filter(bucket_col.isin(chunk))
+            mentions = mentions_from_pages(part).withColumn(
+                "bucket", F.pmod(F.hash(F.col("url")), F.lit(num_buckets))
+            )
+            mentions.write.mode("overwrite").partitionBy("bucket").parquet(out)
+        try:
+            out_rows = spark.read.parquet(out).filter(
+                F.col("bucket").isin(chunk)).count()
+        except Exception:
+            out_rows = 0  # chunk of entirely empty buckets, nothing written yet
         wall = int((time.time() - t0) * 1000)
         per_bucket_wall = wall // max(len(chunk), 1)
         append_lineage(spark, root, [

@@ -206,3 +206,95 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
             ).alias("simhash")
         )
     )
+
+
+def simhash64_signatures(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """64-bit SimHash as FOUR 16-bit band columns (b0..b3) — round-2
+    verdict item 8 (the 16-bit variant above stays as the small
+    engine-stable oracle shape).
+
+    Banded representation instead of one 64-bit long: bit 63 of a
+    packed long needs unsigned semantics that SQL engines disagree on,
+    2^b sums overflow BIGINT at b=63 and lose precision as doubles
+    past 2^53 — while 4x16-bit ints are exact everywhere AND are
+    precisely the pigeonhole buckets Hamming-distance candidate
+    pairing needs (any pair within Hamming distance 3 of a 64-bit
+    signature agrees on at least one of 4 bands).
+
+    Token-hash bits come from the first 16 hex nibbles of md5(tok)
+    (engine-stable: Spark == DuckDB == Python md5); bit b of the
+    signature is 1 iff sum over tokens of (2*bit_b(tok) - 1) > 0,
+    duplicate tokens counting with multiplicity.
+
+    Plan shape: ONE shuffle — the 64 per-bit contributions are 64
+    conditional aggregates inside a single groupBy (map-side partial
+    agg, all whole-stage codegen; no 64-row-per-token explode).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hx = F.md5(F.col("tok"))
+    aggs = []
+    for b in range(64):
+        nib = F.conv(F.substring(hx, b // 4 + 1, 1), 16, 10).cast("int")
+        bit = F.shiftright(nib, b % 4).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit * 2 - 1).alias(f"_s{b}"))
+    per_id = toks.groupBy("id").agg(*aggs)
+    band_cols = []
+    for k in range(4):
+        expr = F.lit(0)
+        for j in range(16):
+            b = 16 * k + j
+            expr = expr + F.when(F.col(f"_s{b}") > 0,
+                                 F.lit(1 << j)).otherwise(F.lit(0))
+        band_cols.append(expr.cast("int").alias(f"b{k}"))
+    return per_id.select("id", *band_cols)
+
+
+def simhash64_near_duplicates(df: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with 64-bit SimHash Hamming distance
+    <= ``max_hamming`` (<= 3 uses the 4-band pigeonhole exactly; larger
+    thresholds would need more/narrower bands).
+
+    Scale shape: candidates form ONLY inside equal (band_idx, value)
+    buckets — never all-pairs — then one join back to the signature
+    table verifies the true distance with ``bit_count(xor)`` per band.
+    Same blocked-candidate discipline as MinHash/LSH above.
+    """
+    assert max_hamming <= 3, "4-band pigeonhole guarantees recall only to 3"
+    sigs = simhash64_signatures(df, id_col, text_col)
+    bands = sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("band_idx"),
+                     F.col(f"b{k}").alias("value"))
+            for k in range(4)
+        ])).alias("bk"),
+    ).select("id", F.col("bk.band_idx").alias("band_idx"),
+             F.col("bk.value").alias("value"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"),
+              (F.col("x.band_idx") == F.col("y.band_idx"))
+              & (F.col("x.value") == F.col("y.value"))
+              & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("id").alias("id_a"),
+                     *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)])
+    sb = sigs.select(F.col("id").alias("id_b"),
+                     *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)])
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}")))
+        for k in range(1, 4)
+    ) + F.bit_count(F.col("a0").bitwiseXOR(F.col("bb0")))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

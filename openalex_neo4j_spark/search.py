@@ -436,16 +436,25 @@ def hybrid_search(query: str, nodes: dict[str, DataFrame], edges: DataFrame,
                   fulltext_weight: float = 1.0,
                   index: DataFrame | None = None,
                   score_round: int | None = None,
-                  embedding_model: str | None = None) -> DataFrame:
+                  embedding_model: str | None = None,
+                  allow_adhoc_index: bool = False) -> DataFrame:
     """Full reference-search-parity flow (search.py:43-84).
 
     ``index``: the persisted fulltext index table (work_fulltext_index
-    materialized at import — D2). When omitted, it is built ad hoc —
-    acceptable for one-off exploration only; production query paths
-    (scripts/kg.py search, kg_hybrid_search) always pass the stored
-    table, because rebuilding means a full corpus scan + two
-    aggregations per query.
+    materialized at import — D2) — REQUIRED on the production path.
+    Rebuilding the index means a full corpus scan + two aggregations
+    *per query*, so a silently-omitted index is a 100-TB footgun: pass
+    ``allow_adhoc_index=True`` to opt into an explicit ad-hoc build
+    (one-off exploration, pre-index graph dirs), otherwise omitting
+    ``index`` raises.
     """
+    if index is None and not allow_adhoc_index:
+        raise ValueError(
+            "hybrid_search requires the persisted fulltext index "
+            "(write_graph(..., with_search_indexes=True) materializes "
+            "it as <root>/index_fulltext). Rebuilding it ad hoc costs "
+            "a full corpus scan per query; pass allow_adhoc_index=True "
+            "to do that explicitly.")
     works = work_embedding_text(nodes["Work"])
     if "embedding" in nodes["Work"].columns:
         # reuse embeddings materialized at import time (M4) — the

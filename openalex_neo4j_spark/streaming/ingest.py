@@ -7,10 +7,14 @@ module adds the streaming front half of the pipeline:
 - :func:`pages_stream` — file-source stream over a pages directory
   (new parquet files = newly crawled WARC batches).
 - :func:`stream_ingest_mentions` — per-micro-batch mention extraction
-  appended to the warehouse through ``foreachBatch``, with one lineage
-  row per epoch (same lineage table the batch pipeline uses, so a
-  streaming ingest is resumable/observable the same way; exactly-once
-  per epoch comes from the checkpointed epoch id).
+  landed through ``foreachBatch``, with one lineage row per epoch
+  (same lineage table the batch pipeline uses, so a streaming ingest
+  is resumable/observable the same way). **Idempotent epochs**: each
+  epoch writes to its own ``epoch=<id>`` partition with dynamic
+  partition overwrite — ``foreachBatch`` is at-least-once, so a crash
+  between the data write and the checkpoint commit replays the epoch,
+  and the replay *rewrites* the same partition instead of appending
+  duplicate rows.
 - :func:`crawl_stats_stream` — watermarked tumbling-window crawl
   statistics (late pages beyond the watermark are dropped).
 
@@ -62,8 +66,21 @@ def stream_ingest_mentions(
         # table — per-epoch bookkeeping must stay O(batch), not O(corpus).
         mentions = mentions_from_pages(batch_df).persist()
         n_out = mentions.count()
-        mentions.write.mode("append").parquet(f"{out_root}/mentions_stream")
+        # idempotent land: foreachBatch is at-least-once (a crash
+        # between this write and the stream checkpoint commit replays
+        # the epoch), so the epoch id is the partition key and the
+        # write is dynamic partition OVERWRITE — a replayed epoch
+        # rewrites its own partition; it cannot duplicate rows. Plain
+        # mode("append") here was the round-2 at-least-once hole.
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        (mentions.withColumn("epoch", F.lit(int(epoch_id)))
+         .write.mode("overwrite").partitionBy("epoch")
+         .parquet(f"{out_root}/mentions_stream"))
         mentions.unpersist()
+        # lineage stays append-mode: a replayed epoch may record a
+        # second bookkeeping row (observability only, deduped by
+        # epoch id on read); the DATA partition above is exactly-once.
         spark.createDataFrame(
             [(
                 "stream_ingest", int(epoch_id), n_in, n_out,

@@ -66,11 +66,17 @@ def cmd_search(args) -> int:
         # the persisted import-time index (D2) — never rebuilt per query
         index = spark.read.parquet(f"{args.graph}/index_fulltext")
     except Exception:
-        index = None  # pre-index graph dir: fall back to ad-hoc build
+        # pre-index graph dir: explicit ad-hoc fallback, loudly
+        index = None
+        print("WARNING: no persisted fulltext index under "
+              f"{args.graph}/index_fulltext — building ad hoc "
+              "(full corpus scan per query; re-import with "
+              "search indexes to fix)", file=sys.stderr)
     rows = hybrid_search(
         args.query, nodes, edges, limit=args.limit, rrf_k=args.rrf_k,
         vector_weight=args.vector_weight,
         fulltext_weight=args.fulltext_weight, index=index,
+        allow_adhoc_index=index is None,
     ).collect()
     # format_results_table analog (search.py:292-364): truncated
     # columns, rank + score + title + authors + year

@@ -247,3 +247,116 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             decode_image_batches(df, fake=False)
+
+
+def test_parse_image_header_roundtrip_and_edges():
+    """Stdlib header parser (round-2 verdict item 6): synth->parse
+    round-trips for all three formats; truncated/garbage bytes yield
+    (None, None, None) instead of raising."""
+    from openalex_neo4j_spark.operators.multimodal import (
+        parse_image_header, synthesize_image_payload)
+
+    for fmt in ("png", "jpeg", "gif"):
+        for w, h in [(1, 1), (16, 512), (640, 480), (65535, 2)]:
+            b = synthesize_image_payload(fmt, w, h)
+            assert parse_image_header(b) == (fmt, w, h)
+
+    assert parse_image_header(None) == (None, None, None)
+    assert parse_image_header(b"") == (None, None, None)
+    assert parse_image_header(b"not an image at all") == (None, None, None)
+    # truncated PNG (signature only)
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n") == (None, None, None)
+    # truncated JPEG (SOI only)
+    assert parse_image_header(b"\xff\xd8") == (None, None, None)
+    # JPEG whose SOF is progressive (C2) still parses
+    b = bytearray(synthesize_image_payload("jpeg", 100, 200))
+    i = b.index(b"\xff\xc0")
+    b[i + 1] = 0xC2
+    assert parse_image_header(bytes(b)) == ("jpeg", 100, 200)
+
+
+def test_image_header_features_distributed(spark):
+    from pyspark.sql import types as T
+
+    from openalex_neo4j_spark.operators.multimodal import (
+        image_header_features, synthesize_image_payload)
+
+    rows = [(i, synthesize_image_payload(["png", "jpeg", "gif"][i % 3],
+                                         10 + i, 20 + i))
+            for i in range(30)] + [(99, None)]
+    df = spark.createDataFrame(rows, schema=T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])).repartition(4)
+    got = {r["media_id"]: (r["fmt"], r["width"], r["height"])
+           for r in image_header_features(df).collect()}
+    assert got[0] == ("png", 10, 20)
+    assert got[1] == ("jpeg", 11, 21)
+    assert got[2] == ("gif", 12, 22)
+    assert got[99] == (None, None, None)
+    assert len(got) == 31
+
+
+def _py_simhash64_bands(text: str) -> tuple[int, int, int, int]:
+    """Independent plain-Python reimplementation for the test oracle."""
+    import hashlib
+    sums = [0] * 64
+    for tok in text.split(" "):
+        if not tok:
+            continue
+        hx = hashlib.md5(tok.encode()).hexdigest()[:16]
+        for b in range(64):
+            nib = int(hx[b // 4], 16)
+            bit = (nib >> (b % 4)) & 1
+            sums[b] += 1 if bit else -1
+    bands = []
+    for k in range(4):
+        v = 0
+        for j in range(16):
+            if sums[16 * k + j] > 0:
+                v |= 1 << j
+        bands.append(v)
+    return tuple(bands)
+
+
+def test_simhash64_signatures_match_python(spark):
+    from openalex_neo4j_spark.operators.dedup import simhash64_signatures
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "entity linking at web scale with minhash"),
+        (3, "a b a b a"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+           for r in simhash64_signatures(df).collect()}
+    for i, t in docs:
+        if t.strip():
+            assert got[i] == _py_simhash64_bands(t), f"doc {i}"
+    assert 4 not in got  # empty text -> no tokens -> no signature row
+
+
+def test_simhash64_near_duplicates_hamming(spark):
+    from openalex_neo4j_spark.operators.dedup import (
+        simhash64_near_duplicates)
+
+    # 120-token doc; replacing token 1 with 'gamma' flips exactly 1
+    # signature bit (precomputed with the plain-Python reimpl above —
+    # SimHash bit flips depend on per-bit sums crossing zero, so the
+    # near-dup fixture is chosen, not assumed)
+    words = [f"w{i:03d}" for i in range(120)]
+    base = " ".join(words)
+    near = " ".join([words[0], "gamma"] + words[2:])
+    far = "completely different subject matter entirely unrelated text"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash64_near_duplicates(df, max_hamming=3).collect()}
+    # identical docs: hamming 0
+    assert pairs.get((1, 4)) == 0
+    # near-identical: exactly the precomputed 1-bit flip
+    assert pairs.get((1, 2)) == 1
+    assert pairs.get((2, 4)) == 1
+    # unrelated doc never pairs with the near-dup cluster
+    assert not any(3 in p for p in pairs)
