@@ -293,10 +293,10 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
         # component id is an arbitrary-but-deterministic representative
         # tid; semantic cluster ids below come from canon_key /
         # norm_title minima, never from the component id itself.
-        # ONE driver action for empty-check + strategy decision +
-        # driver-path collect (connected_components_auto probes with
-        # limit+toPandas and returns None on an empty edge set) — the
-        # former count-then-collect chain was two serial round-trips.
+        # connected_components_auto probes with a count() then Arrow-
+        # collects the driver path (returns None on an empty edge set);
+        # see its docstring for why the probe is NOT fused into the
+        # collect via limit() — CollectLimit forfeits the Arrow path.
         cc = connected_components_auto(fuzzy_edges)
         if cc is not None:
             comp_map = cc.select(

@@ -258,31 +258,60 @@ def parse_lucene_lite(query: str) -> dict:
       bag-of-words index cannot check adjacency)
     - ``+term``        -> required (MUST)
     - ``-term``        -> excluded (MUST_NOT)
+    - ``term^2.5``     -> boost: the term's index weight is multiplied
+      by the boost in the score sum
+    - ``field:term``   -> field prefix accepted and stripped: the
+      fulltext index is a single combined title+abstract field
+      (work_fulltext_index), matching the reference's one fulltext
+      index over (title, abstract) — neo4j_client.py:134-144
+    - ``term~`` / ``term~1`` -> fuzzy: matches every vocabulary token
+      within the given Levenshtein distance (default 2, like modern
+      Lucene); expanded tokens score with the term's boost
 
     Returns {"should": [t...], "must": [t...], "must_not": [t...],
-    "phrases": [[w1, w2, ...], ...]}. Unsupported Lucene constructs
-    (field:, fuzzy~, boosts^, ranges) are treated as plain text.
+    "phrases": [[w1, ...], ...], "boosts": {t: float},
+    "fuzzy": [(t, max_edits), ...]}. Remaining Lucene constructs
+    (ranges, grouping) are treated as plain text.
     """
     import re as _re
 
-    out = {"should": [], "must": [], "must_not": [], "phrases": []}
+    out = {"should": [], "must": [], "must_not": [], "phrases": [],
+           "boosts": {}, "fuzzy": []}
     for phrase in _re.findall(r'"([^"]*)"', query):
         words = [w for w in phrase.lower().split() if w]
         if words:
             out["phrases"].append(words)
     rest = _re.sub(r'"[^"]*"', " ", query)
+    tok_re = _re.compile(
+        r"^(?P<field>\w+:)?(?P<body>[^~^]+)"
+        r"(?P<fuzzy>~(?P<edits>\d+)?)?"
+        r"(?:\^(?P<boost>\d+(?:\.\d+)?))?$")
     for raw in rest.replace(",", " ").split():
         t = raw.lower()
         if t in ("and", "or", "not"):
             continue
+        bucket = "should"
         if raw.startswith("+") and len(t) > 1:
-            out["must"].append(t[1:])
+            bucket, t = "must", t[1:]
         elif raw.startswith("-") and len(t) > 1:
-            out["must_not"].append(t[1:])
+            bucket, t = "must_not", t[1:]
+        m = tok_re.match(t)
+        if not m:
+            out[bucket].append(t)
+            continue
+        body = m.group("body")
+        if m.group("boost"):
+            out["boosts"][body] = float(m.group("boost"))
+        if m.group("fuzzy") and bucket == "should":
+            # fuzzy applies to scored terms only; +term~/-term~ keep
+            # their exact MUST/MUST_NOT semantics (lite scope)
+            edits = int(m.group("edits")) if m.group("edits") else 2
+            out["fuzzy"].append((body, edits))
         else:
-            out["should"].append(t)
+            out[bucket].append(body)
     for k in ("should", "must", "must_not"):
         out[k] = sorted(set(out[k]))
+    out["fuzzy"] = sorted(set(out["fuzzy"]))
     return out
 
 
@@ -308,12 +337,38 @@ def fulltext_topk(index: DataFrame, query: str, k: int,
         must = []
         scored_terms = sorted({t for t in
                                query.lower().replace(",", " ").split() if t})
-        q = {"must_not": []}
-    if not scored_terms:
+        q = {"must_not": [], "boosts": {}, "fuzzy": []}
+    if not scored_terms and not q["fuzzy"]:
         return empty
+    boosts = q.get("boosts", {})
     qdf = spark.createDataFrame(
-        [(t, t in must) for t in scored_terms], ["tok", "required"])
-    score = F.sum("weight")
+        [(t, t in must, float(boosts.get(t, 1.0))) for t in scored_terms],
+        "tok string, required boolean, boost double",
+    )
+    if q.get("fuzzy"):
+        # fuzzy expansion: every vocabulary token within Levenshtein
+        # distance of the fuzzy term becomes a scored (non-required)
+        # term with the fuzzy term's boost. One pass over the distinct
+        # vocab with the tiny fuzzy list broadcast — JVM levenshtein,
+        # no Python.
+        fz = spark.createDataFrame(
+            [(t, int(d), float(boosts.get(t, 1.0))) for t, d in q["fuzzy"]],
+            ["f_tok", "max_edits", "boost"],
+        )
+        expanded = (
+            index.select("tok").distinct()
+            .join(F.broadcast(fz),
+                  F.levenshtein(F.col("tok"), F.col("f_tok"))
+                  <= F.col("max_edits"))
+            .groupBy("tok")
+            .agg(F.max("boost").alias("boost"))
+            .select("tok", F.lit(False).alias("required"), "boost")
+        )
+        qdf = qdf.unionByName(expanded).groupBy("tok").agg(
+            F.max("required").alias("required"),
+            F.max("boost").alias("boost"),
+        )
+    score = F.sum(F.col("weight") * F.col("boost"))
     if round_dp is not None:
         score = F.bround(score, round_dp)
     hits = (

@@ -240,3 +240,65 @@ def test_hybrid_search_requires_index(spark, small_world, small_graph):
     with _pytest.raises(ValueError, match="persisted fulltext index"):
         from openalex_neo4j_spark.search import hybrid_search as hs
         hs(w.title, small_graph.nodes, small_graph.edges, limit=3)
+
+
+class TestLuceneLiteExtended:
+    """Round-3 extensions: boosts (term^2.5), field prefixes
+    (title:term), fuzzy (term~ / term~1)."""
+
+    def test_parse_boost_field_fuzzy(self):
+        from openalex_neo4j_spark.search import parse_lucene_lite
+        q = parse_lucene_lite('title:graph^2.5 neural~1 abstract:mining '
+                              '+linking^3 fuzzed~ -noise')
+        assert q["should"] == ["graph", "mining"]
+        assert q["must"] == ["linking"]
+        assert q["must_not"] == ["noise"]
+        assert q["boosts"] == {"graph": 2.5, "linking": 3.0}
+        assert q["fuzzy"] == [("fuzzed", 2), ("neural", 1)]
+
+    def test_parse_fuzzy_on_must_not_stays_exact(self):
+        from openalex_neo4j_spark.search import parse_lucene_lite
+        q = parse_lucene_lite("-bad~2 +req~1")
+        # MUST/MUST_NOT keep exact semantics in the lite scope
+        assert q["must_not"] == ["bad"]
+        assert q["must"] == ["req"]
+        assert q["fuzzy"] == []
+
+    def _index(self, spark):
+        from openalex_neo4j_spark.search import build_fulltext_index
+        docs = spark.createDataFrame(
+            [("d1", "graph neural citation analysis"),
+             ("d2", "neural machine translation"),
+             ("d3", "graph databases and query planning"),
+             ("d4", "citation graph mining with neural models")],
+            ["id", "text"])
+        return build_fulltext_index(docs)
+
+    def test_boost_reorders(self, spark):
+        from openalex_neo4j_spark.search import fulltext_topk
+        idx = self._index(spark)
+        plain = fulltext_topk(idx, "translation graph", 10,
+                              lucene=True).collect()
+        boosted = fulltext_topk(idx, "translation^10 graph", 10,
+                                lucene=True).collect()
+        assert boosted[0]["id"] == "d2"          # translation doc wins
+        assert {r["id"] for r in boosted} == {r["id"] for r in plain}
+
+    def test_fuzzy_matches_vocab_within_distance(self, spark):
+        from openalex_neo4j_spark.search import fulltext_topk
+        idx = self._index(spark)
+        # 'grap~1' reaches 'graph' (distance 1), not 'planning'
+        ids = {r["id"] for r in
+               fulltext_topk(idx, "grap~1", 10, lucene=True).collect()}
+        assert ids == {"d1", "d3", "d4"}
+        # distance 0 fuzzy matches nothing (no exact 'grap' token)
+        assert fulltext_topk(idx, "grap~0", 10, lucene=True).count() == 0
+
+    def test_field_prefix_stripped(self, spark):
+        from openalex_neo4j_spark.search import fulltext_topk
+        idx = self._index(spark)
+        a = {r["id"] for r in
+             fulltext_topk(idx, "title:graph", 10, lucene=True).collect()}
+        b = {r["id"] for r in
+             fulltext_topk(idx, "graph", 10, lucene=True).collect()}
+        assert a == b == {"d1", "d3", "d4"}
