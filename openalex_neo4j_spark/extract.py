@@ -40,6 +40,16 @@ PY_STAGE_MAX_TASKS = int(os.environ.get("SPARK_GRAFT_PY_TASKS", "16"))
 
 
 def _bounded(df: DataFrame) -> DataFrame:
+    """Cap CONCURRENT Arrow streams, not total tasks: concurrency is
+    already bounded by the core count, so coalescing is only needed
+    when the session has more task slots than the stream cap. Below
+    that, keep the input's (finer) partitioning — fewer, fatter
+    Python tasks just lengthen the stage tail (a 14-task extract on 8
+    cores measured ~17s of under-subscribed tail; 30+ tasks erase it).
+    """
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    if slots <= PY_STAGE_MAX_TASKS:
+        return df
     n = df.rdd.getNumPartitions()
     return df.coalesce(PY_STAGE_MAX_TASKS) if n > PY_STAGE_MAX_TASKS else df
 

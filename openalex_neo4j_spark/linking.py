@@ -59,8 +59,9 @@ def _with_work_key(mentions: DataFrame) -> DataFrame:
 
 def _minhash_bands(titles: DataFrame, extra_cols: list[str] | None = None
                    ) -> DataFrame:
-    """(t, [extra...], band, band_key) for a (t: norm_title) frame —
-    MinHash banded for LSH.
+    """(t, [extra...], band_key) for a (t: norm_title) frame —
+    MinHash banded for LSH; band_key is a fixed-width long hashing
+    (band index, band signatures).
 
     Hash = native ``xxhash64``. The engine-stable md5 MinHash lives in
     operators/dedup.py where the DuckDB-oracle contract needs it;
@@ -114,27 +115,33 @@ def _minhash_bands(titles: DataFrame, extra_cols: list[str] | None = None
         .groupBy("t", *extra_cols)
         .agg(*[F.min(f"_h{s}").alias(f"_s{s}") for s in range(NUM_HASHES)])
     )
+    # band key = ONE fixed-width long: xxhash64(band index, both
+    # band signatures). The string concat variant ("<s0>|<s1>",
+    # 15-40 chars) roughly doubled the banding checkpoint and the
+    # candidate self-join shuffle bytes — and on a memory-bandwidth-
+    # limited host the wide-shuffle stages are exactly where marginal
+    # cores stop helping. A cross-band hash collision only ADDs a
+    # candidate pair, which TF-IDF scoring then rejects — blocking
+    # stays a recall heuristic either way.
     band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "|",
-                F.col(f"_s{b * BAND_SIZE}").cast("string"),
-                F.col(f"_s{b * BAND_SIZE + 1}").cast("string"),
-            ).alias("band_key"),
-        )
+        F.xxhash64(F.lit(b), F.col(f"_s{b * BAND_SIZE}"),
+                   F.col(f"_s{b * BAND_SIZE + 1}"))
         for b in range(NUM_HASHES // BAND_SIZE)
     ])
-    return sig.select("t", *extra_cols, F.explode(band_structs).alias("bk")).select(
-        "t", *extra_cols,
-        F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"),
-    )
+    return sig.select(
+        "t", *extra_cols, F.explode(band_structs).alias("band_key"))
 
 
 def _tfidf_weights(titles: DataFrame,
                    only_tids: DataFrame | None = None,
                    n_docs: int | None = None) -> DataFrame:
-    """(tid, tok, w, nrm): TF-IDF weights over distinct group titles.
+    """(tid, tok, w): TF-IDF weights over distinct group titles —
+    norms are NOT attached; the caller derives (tid, nrm) from the
+    checkpointed weight frame and applies them AFTER the pair-dot
+    aggregation via broadcast joins. Carrying nrm through the
+    exploded pair-token shuffle (the widest in linking) costs
+    8 bytes x |pairs| x |tokens| twice; the norm table itself is tiny
+    (one double per candidate tid).
 
     Input: (tid, t). Tokens are hashed to longs as well, so the
     downstream scoring joins shuffle only fixed-width values.
@@ -165,9 +172,7 @@ def _tfidf_weights(titles: DataFrame,
         F.col("tf")
         * (F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)) + F.lit(1.0)),
     ).select("tid", "tok", "w")
-    norms = w.groupBy("tid").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-    return w.join(norms, "tid")
+    return w
 
 
 def link_mentions(mentions: DataFrame) -> DataFrame:
@@ -214,11 +219,18 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
     comp_map = None
     if n_orphans > 0:
         # (3) LSH candidates: one banding pass over all group titles
-        # (orphans flagged); orphan rows join against the full set
+        # (orphans flagged); orphan rows join against the full set.
+        # gyear rides along so the year-compatibility predicate (a
+        # fuzzy edge needs equal-or-unknown publication years) applies
+        # HERE, before TF-IDF scoring — it can only drop pairs the
+        # post-scoring filter would drop anyway, and it shrinks the
+        # scoring double-join (the widest shuffle in linking) instead
+        # of paying two scored-x-years repair joins afterwards.
         all_bands = _minhash_bands(
             grp.select(F.col("norm_title").alias("t"), F.col("tid"),
-                       F.col("canon_key").isNull().alias("is_orphan")),
-            extra_cols=["tid", "is_orphan"],
+                       F.col("canon_key").isNull().alias("is_orphan"),
+                       F.col("gyear")),
+            extra_cols=["tid", "is_orphan", "gyear"],
         ).drop("t")
         all_bands = ckpt(all_bands)
         orphan_bands = all_bands.filter(F.col("is_orphan"))
@@ -226,9 +238,10 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
             orphan_bands.alias("o")
             .join(
                 all_bands.alias("c"),
-                (F.col("o.band") == F.col("c.band"))
-                & (F.col("o.band_key") == F.col("c.band_key"))
-                & (F.col("o.tid") != F.col("c.tid")),
+                (F.col("o.band_key") == F.col("c.band_key"))
+                & (F.col("o.tid") != F.col("c.tid"))
+                & (F.col("o.gyear").isNull() | F.col("c.gyear").isNull()
+                   | (F.col("o.gyear") == F.col("c.gyear"))),
             )
             .select(
                 F.least(F.col("o.tid"), F.col("c.tid")).alias("ta"),
@@ -236,16 +249,19 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
             )
             .distinct()
         )
-        # never fuse two canonical groups: DOI identity is authoritative
-        canon_tids = grp.filter(F.col("canon_key").isNotNull()).select(
-            F.col("tid").alias("ct"))
-        both_canon = cand.join(
-            canon_tids.withColumnRenamed("ct", "ta"), "ta", "left_semi"
-        ).join(canon_tids.withColumnRenamed("ct", "tb"), "tb", "left_semi")
+        # Canonical-canonical fusion (DOI identity is authoritative —
+        # two DOI groups must never merge) cannot occur by
+        # construction: the left side of the band join is filtered to
+        # orphans, so every candidate pair has >= 1 orphan endpoint.
+        # CC then unions {orphan,canonical} pairs, and the cluster-id
+        # mint below picks min(canon_key) — a component can absorb
+        # many canonicals only via orphan bridges, same as the
+        # reference's exact-title dict merge. (An earlier revision
+        # paid a 3-stage semi/anti-join chain here to drop
+        # both-canonical pairs; the filter was provably empty.)
         # checkpoint: cand feeds cand_tids, the scoring join, and the
         # year filter -- without this the LSH banding DAG re-executes
-        cand = ckpt(cand.join(both_canon, ["ta", "tb"], "left_anti"),
-                    eager=False)
+        cand = ckpt(cand, eager=False)
 
         # (4) TF-IDF cosine over candidate title pairs (only longs +
         # doubles move through the scoring shuffles)
@@ -258,32 +274,40 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
         # the same scoring job — unmaterialized, each branch would
         # recompute the whole TF-IDF tree (tf explode over every title
         # included) once
-        weights = _tfidf_weights(
+        weights = ckpt(_tfidf_weights(
             grp.select(F.col("tid"), F.col("norm_title").alias("t")),
-            only_tids=cand_tids, n_docs=n_groups)
-        weights = ckpt(weights)
+            only_tids=cand_tids, n_docs=n_groups))
+        # norms from the CHECKPOINTED weights (a plan on the pre-ckpt
+        # tree would re-run the whole TF-IDF DAG a second time)
+        norms = weights.groupBy("tid").agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
         wa = weights.select(F.col("tid").alias("ta"), "tok",
-                            F.col("w").alias("w_a"), F.col("nrm").alias("n_a"))
+                            F.col("w").alias("w_a"))
         wb = weights.select(F.col("tid").alias("tb"), "tok",
-                            F.col("w").alias("w_b"), F.col("nrm").alias("n_b"))
-        scored = (
+                            F.col("w").alias("w_b"))
+        dots = (
             cand.join(wa, "ta")
             .join(wb, ["tb", "tok"])
             .groupBy("ta", "tb")
-            .agg((F.sum(F.col("w_a") * F.col("w_b"))
-                  / (F.first("n_a") * F.first("n_b"))).alias("cosine"))
+            .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
         )
-        years = grp.select(F.col("tid"), F.col("gyear"))
+        # norms join AFTER the dot aggregation, as broadcasts (one
+        # double per candidate tid — MBs, not the GB-scale exploded
+        # pair-token stream the nrm columns used to ride through)
+        scored = (
+            dots
+            .join(F.broadcast(norms.select(F.col("tid").alias("ta"),
+                                           F.col("nrm").alias("n_a"))), "ta")
+            .join(F.broadcast(norms.select(F.col("tid").alias("tb"),
+                                           F.col("nrm").alias("n_b"))), "tb")
+            .select("ta", "tb",
+                    (F.col("dot") / (F.col("n_a") * F.col("n_b")))
+                    .alias("cosine"))
+        )
+        # year compatibility was enforced at candidate generation —
+        # every surviving pair is already year-compatible
         fuzzy_edges = (
             scored.filter(F.col("cosine") >= COSINE_THRESHOLD)
-            .join(years.withColumnRenamed("tid", "ta")
-                       .withColumnRenamed("gyear", "ya"), "ta")
-            .join(years.withColumnRenamed("tid", "tb")
-                       .withColumnRenamed("gyear", "yb"), "tb")
-            .filter(
-                F.col("ya").isNull() | F.col("yb").isNull()
-                | (F.col("ya") == F.col("yb"))
-            )
             .select(F.col("ta").cast("string").alias("src"),
                     F.col("tb").cast("string").alias("dst"))
         )
@@ -310,16 +334,18 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
         "component",
         F.coalesce(F.col("component"), F.col("tid").cast("string")))
 
-    # cluster id per component: min canonical DOI key, else minted title id
-    cluster = grp.groupBy("component").agg(
-        F.min("canon_key").alias("c_doi"),
-        F.min("norm_title").alias("c_title"),
-    ).withColumn(
-        "cluster_id",
-        F.coalesce(F.col("c_doi"),
-                   F.concat(F.lit("title:"), F.col("c_title"))),
-    ).select("component", "cluster_id")
-    tid_to_cluster = grp.join(cluster, "component").select("tid", "cluster_id")
+    # cluster id per component: min canonical DOI key, else minted
+    # title id. A window over component (one shuffle, unbounded frame)
+    # instead of groupBy + join-back — the join-back costs a second
+    # shuffle or a driver-built broadcast of the whole cluster table.
+    comp_w = Window.partitionBy("component")
+    tid_to_cluster = grp.select(
+        "tid",
+        F.coalesce(
+            F.min("canon_key").over(comp_w),
+            F.concat(F.lit("title:"), F.min("norm_title").over(comp_w)),
+        ).alias("cluster_id"),
+    )
 
     out = (
         m.withColumn("tid", tid)

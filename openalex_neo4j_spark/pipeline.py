@@ -87,15 +87,19 @@ def work_nodes(linked: DataFrame) -> DataFrame:
 
 
 def author_nodes(linked: DataFrame) -> DataFrame:
+    # group by the COMPUTED id, not the raw orcid: two raw values that
+    # normalize to one id (' X'/'X') must yield ONE node row — the
+    # unique-id constraint (D1) every node table guarantees, and the
+    # invariant that lets build_triples skip a global dedup.
     a = linked.select(F.explode("authors").alias("a")).select(
-        F.col("a.orcid").alias("orcid"),
+        F.trim(F.col("a.orcid")).alias("orcid"),
         F.col("a.display_name").alias("display_name"),
-    ).filter(F.col("orcid").isNotNull() & (F.trim("orcid") != ""))
-    return a.groupBy("orcid").agg(
-        F.min("display_name").alias("display_name")
-    ).select(
-        F.concat(F.lit("orcid:"), F.trim("orcid")).alias("id"), "display_name",
-        F.col("orcid"),
+    ).filter(F.col("orcid").isNotNull() & (F.col("orcid") != ""))
+    return a.groupBy(
+        F.concat(F.lit("orcid:"), F.col("orcid")).alias("id")
+    ).agg(
+        F.min("display_name").alias("display_name"),
+        F.min("orcid").alias("orcid"),
     )
 
 
@@ -105,14 +109,16 @@ def institution_nodes(linked: DataFrame) -> DataFrame:
         F.col("i.display_name").alias("display_name"),
         F.col("i.country_code").alias("country_code"),
     ).filter(F.col("ror").isNotNull() & (F.trim("ror") != ""))
-    return i.groupBy("ror").agg(
-        F.min("display_name").alias("display_name"),
-        F.min("country_code").alias("country_code"),
-    ).select(
+    # id-keyed dedup (D1): distinct ror spellings sharing a ror tail
+    # ('https://ror.org/x' vs 'ror.org/x') collapse to one node
+    return i.groupBy(
         F.concat(
             F.lit("ror:"), F.element_at(F.split(F.trim("ror"), "/"), -1)
-        ).alias("id"),
-        "display_name", "country_code", "ror",
+        ).alias("id")
+    ).agg(
+        F.min("display_name").alias("display_name"),
+        F.min("country_code").alias("country_code"),
+        F.min("ror").alias("ror"),
     )
 
 
@@ -130,20 +136,21 @@ def _named_nodes(linked: DataFrame, array_col: str, prefix: str) -> DataFrame:
     n = linked.select(F.explode(array_col).alias("name")).filter(
         F.col("name").isNotNull() & (F.trim("name") != "")
     )
-    return n.select(F.trim("name").alias("display_name")).distinct().select(
-        F.concat(F.lit(prefix + ":"), _slug_expr(F.col("display_name"))).alias("id"),
-        "display_name",
-    )
+    # dedup on the slug ID, not the display string: 'Deep  Learning'
+    # and 'deep learning' share a slug and must be ONE node (D1)
+    return n.groupBy(
+        F.concat(F.lit(prefix + ":"),
+                 _slug_expr(F.trim("name"))).alias("id")
+    ).agg(F.min(F.trim("name")).alias("display_name"))
 
 
 def publisher_nodes(linked: DataFrame) -> DataFrame:
     p = linked.filter(
         F.col("publisher").isNotNull() & (F.trim("publisher") != "")
-    ).select(F.trim("publisher").alias("display_name")).distinct()
-    return p.select(
-        F.concat(F.lit("publisher:"), _slug_expr("display_name")).alias("id"),
-        "display_name",
-    )
+    ).select(F.trim("publisher").alias("display_name"))
+    return p.groupBy(
+        F.concat(F.lit("publisher:"), _slug_expr("display_name")).alias("id")
+    ).agg(F.min("display_name").alias("display_name"))
 
 
 def build_edges(linked: DataFrame, works: DataFrame) -> DataFrame:
@@ -353,7 +360,18 @@ def build_triples(nodes: dict[str, DataFrame], edges: DataFrame) -> DataFrame:
     out = parts[0]
     for x in parts[1:]:
         out = out.unionByName(x)
-    return out.dropDuplicates(["subj", "pred", "obj"])
+    # The union is duplicate-free BY CONSTRUCTION, so no global
+    # dropDuplicates — at web scale that dedup was the single widest
+    # shuffle in the pipeline (every triple's (subj,pred,obj) strings
+    # re-hashed and moved once more). Invariant: (a) edges are
+    # pair-deduped in build_edges; (b) every node table is unique on
+    # its computed id (each is a groupBy/window on that id), so
+    # _prop_triples emits each (id, pred) at most once; (c) node-id
+    # namespaces are prefix-disjoint (doi:/title:/orcid:/ror:/issn:/
+    # topic:/funder:/publisher:) and property preds (label, title,
+    # display_name, ...) are disjoint from the 7 uppercase edge types
+    # — so no triple can appear in two union branches.
+    return out
 
 
 def build_graph(pages: DataFrame, skip_abstracts: bool = False,

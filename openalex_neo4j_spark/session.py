@@ -25,7 +25,14 @@ SPARK_CONF: dict[str, str] = {
     # sized for heavy rows: pages.html is 15-50KB, so 10k-row arrow
     # batches would be 150-500MB allocations per in-flight task
     "spark.sql.execution.arrow.maxRecordsPerBatch": "500",
-    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # 32MB, not the 128MB default: the hot scan feeds an Arrow->Python
+    # parse that costs ~30x more per byte than a JVM columnar scan, so
+    # per-split work is sized by Python-parse time, not IO. At 128MB
+    # a 2M-page corpus became 14 fat extract tasks — a multi-second
+    # under-subscribed tail on 8 cores; 32MB splits load-balance it.
+    # (At 100TB this is ~3M scan tasks — fine for a 1000-executor
+    # cluster; bump back up for scans that never enter Python.)
+    "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
     # pages.html rows are tens of KB; the 4096-row default columnar
     # batch can overflow the on-heap column vector on binary columns
     "spark.sql.parquet.columnarReaderBatchSize": "512",

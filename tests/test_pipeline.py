@@ -117,3 +117,41 @@ def test_work_winner_is_deterministic_first_wins(small_world, small_graph):
     for w in small_world.works.values():
         if w.has_canonical:
             assert works[ids.work_id(w.doi)]["title"] == w.title
+
+
+def test_triples_unique_under_id_collisions(spark):
+    """build_triples emits NO global dedup (at web scale that was the
+    widest shuffle in the pipeline) — legal only because every node
+    table dedups on its COMPUTED id. Pin the invariant with raw values
+    that collide post-normalization: topic spellings sharing a slug,
+    orcids differing by padding, ror spellings sharing a tail."""
+    from openalex_neo4j_spark.pipeline import build_graph_from_linked
+    from openalex_neo4j_spark.schemas import MENTION_SCHEMA
+
+    rows = [
+        ("u1", "T One", "t one", "10.1/a", 2020, "journal-article", None,
+         [{"display_name": "Ada", "orcid": "0000-0001"}],
+         [{"display_name": "MIT", "ror": "https://ror.org/02abc", "country_code": "US"}],
+         "Venue", "1234-5678", "Pub One",
+         ["Deep  Learning", "deep learning"], ["NSF", "nsf"], []),
+        ("u2", "T Two", "t two", "10.1/b", 2021, "journal-article", None,
+         [{"display_name": "Ada Again", "orcid": " 0000-0001 "}],
+         [{"display_name": "MIT2", "ror": "ror.org/02abc", "country_code": "US"}],
+         "Venue", " 1234-5678 ", "pub  one",
+         ["DEEP LEARNING"], [], ["10.1/a"]),
+    ]
+    mentions = spark.createDataFrame(rows, MENTION_SCHEMA)
+    linked = mentions.withColumn(
+        "work_key", F.concat(F.lit("doi:"), F.lower(F.trim("doi"))))
+    g = build_graph_from_linked(linked)
+
+    triples = [(r.subj, r.pred, r.obj) for r in g.triples.collect()]
+    assert len(triples) == len(set(triples)), "duplicate triples emitted"
+    for label, df in g.nodes.items():
+        assert df.count() == df.select("id").distinct().count(), label
+    # the colliding spellings collapsed to single nodes
+    topics = {r.id for r in g.nodes["Topic"].collect()}
+    assert topics == {"topic:deep-learning"}
+    assert g.nodes["Author"].count() == 1
+    assert g.nodes["Institution"].count() == 1
+    assert g.nodes["Publisher"].count() == 1
