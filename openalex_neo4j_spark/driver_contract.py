@@ -140,6 +140,20 @@ def q_rrf_fusion(spark, sf):
     return fused
 
 
+def q_fulltext_fuzzy(spark, sf):
+    """M6 + Lucene-lite fuzzy/boost operators (round 3): inverted
+    TF-IDF index over documents; ``tabel~1^2 join`` expands the fuzzy
+    term over the index vocabulary via JVM-side levenshtein (every
+    token within edit distance 1 scores with boost 2). Oracle: the
+    same index + expansion in DuckDB (levenshtein is built in)."""
+    from openalex_neo4j_spark.search import (build_fulltext_index,
+                                             fulltext_topk)
+    d = _t(spark, sf, "documents")
+    idx = build_fulltext_index(d, id_col="doc_id", text_col="text")
+    return fulltext_topk(idx, "tabel~1^2 join", 10, round_dp=6,
+                         lucene=True)
+
+
 def q_filter_orders(spark, sf):
     """F4/D4 predicate + projection with pushdown."""
     o = _t(spark, sf, "orders")
@@ -869,6 +883,29 @@ SELECT COALESCE(leg1.doc_id, leg2.doc_id) AS doc_id,
        COALESCE(1.0/(60+rv), 0) + COALESCE(1.0/(60+rf), 0) AS rrf_score
 FROM leg1 FULL OUTER JOIN leg2 ON leg1.doc_id = leg2.doc_id
 """,
+    "q_fulltext_fuzzy": r"""
+WITH toks AS (
+  SELECT doc_id AS id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(
+        lower(regexp_replace(text, '[^\w\s]', ' ', 'g')), '\s+')) AS tok
+    FROM documents) WHERE tok <> ''),
+tf AS (SELECT id, tok, COUNT(*) AS tf FROM toks GROUP BY id, tok),
+dfreq AS (SELECT tok, COUNT(DISTINCT id) AS df FROM tf GROUP BY tok),
+n AS (SELECT COUNT(*) AS n FROM documents),
+idx AS (
+  SELECT tf.tok, tf.id,
+         tf.tf * (ln((n.n + 1)::DOUBLE / (dfreq.df + 1)) + 1.0) AS weight
+  FROM tf, dfreq, n WHERE tf.tok = dfreq.tok),
+qterms AS (
+  SELECT tok, 2.0 AS boost
+  FROM (SELECT DISTINCT tok FROM idx)
+  WHERE levenshtein(tok, 'tabel') <= 1
+  UNION ALL SELECT 'join' AS tok, 1.0 AS boost),
+q2 AS (SELECT tok, MAX(boost) AS boost FROM qterms GROUP BY tok)
+SELECT idx.id, ROUND(SUM(idx.weight * q2.boost), 6) AS score
+FROM idx JOIN q2 ON idx.tok = q2.tok
+GROUP BY idx.id ORDER BY score DESC, id LIMIT 10
+""",
     "q_filter_orders": """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE o_orderdate >= TIMESTAMP '1997-06-01' AND o_orderstatus = 'F'
@@ -1148,6 +1185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_top_orders": q_top_orders,
     "q_rank_orders": q_rank_orders,
     "q_rrf_fusion": q_rrf_fusion,
+    "q_fulltext_fuzzy": q_fulltext_fuzzy,
     "q_filter_orders": q_filter_orders,
     "q_point_lookup": q_point_lookup,
     "q_camel_priority": q_camel_priority,

@@ -171,7 +171,7 @@ def _tfidf_weights(titles: DataFrame,
         "w",
         F.col("tf")
         * (F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)) + F.lit(1.0)),
-    ).select("tid", "tok", "w")
+    ).select("tid", "tok", "w", "df")
     return w
 
 
@@ -281,10 +281,16 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
         # tree would re-run the whole TF-IDF DAG a second time)
         norms = weights.groupBy("tid").agg(
             F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-        wa = weights.select(F.col("tid").alias("ta"), "tok",
-                            F.col("w").alias("w_a"))
-        wb = weights.select(F.col("tid").alias("tb"), "tok",
-                            F.col("w").alias("w_b"))
+        # tokens with global df == 1 live in exactly one title group
+        # and can never appear on BOTH sides of a pair — they affect
+        # norms (above) but not dot products, so the join stream drops
+        # them. On real web corpora rare tokens are the long tail of
+        # the vocabulary; this is a large cut of the widest shuffle.
+        shared = weights.filter(F.col("df") >= 2)
+        wa = shared.select(F.col("tid").alias("ta"), "tok",
+                           F.col("w").alias("w_a"))
+        wb = shared.select(F.col("tid").alias("tb"), "tok",
+                           F.col("w").alias("w_b"))
         dots = (
             cand.join(wa, "ta")
             .join(wb, ["tb", "tok"])

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from openalex_neo4j_spark.extract import mentions_from_pages
 from openalex_neo4j_spark.linking import link_mentions
-from openalex_neo4j_spark.session import ckpt
+from openalex_neo4j_spark.session import ckpt, stage_parquet
 
 
 def camel_label_expr(col):
@@ -377,14 +377,21 @@ def build_triples(nodes: dict[str, DataFrame], edges: DataFrame) -> DataFrame:
 def build_graph(pages: DataFrame, skip_abstracts: bool = False,
                 generate_embeddings: bool = False,
                 embedding_model: str | None = None) -> GraphTables:
-    # checkpoint: the Arrow-parse stage feeds both the group aggregation
-    # and the final mention join — materialize it exactly once
+    # mentions: row-block checkpoint — only 2 consumers (a 3-column
+    # aggregation + the final full-row join), and a parquet encode of
+    # the text-heavy mention rows costs more JVM CPU + row-group GC
+    # than both consumers save (measured: extract stage 46s -> 105s
+    # when staged). The LINKED table is the opposite case: it fans out
+    # to 7 node builders + edges, each needing a different column
+    # slice, so it goes through stage_parquet below and every consumer
+    # column-prunes its scan (a single assembly stage read 6.8GB of
+    # row blocks for plans that needed ~1GB of columns).
     mentions = ckpt(mentions_from_pages(pages), eager=False)
     linked = link_mentions(mentions)
     if skip_abstracts:
         # P10 (importer.py:73-77): drop abstracts behind a config flag
         linked = linked.withColumn("abstract", F.lit(None).cast("string"))
-    return build_graph_from_linked(ckpt(linked),
+    return build_graph_from_linked(stage_parquet(linked, "linked"),
                                    generate_embeddings=generate_embeddings,
                                    embedding_model=embedding_model)
 

@@ -111,6 +111,47 @@ def ckpt(df, level: str | None = None, eager: bool = True):
                               storageLevel=getattr(StorageLevel, name))
 
 
+def stage_parquet(df, name: str = "stage"):
+    """COLUMNAR materialization barrier for wide, multiply-consumed
+    tables (mentions, linked mentions): write once as parquet, hand
+    back a fresh scan of it.
+
+    ``localCheckpoint`` blocks are row-oriented — every downstream
+    consumer re-reads entire rows even when it needs 3 of 15 columns
+    (measured: a single assembly stage read 6.8GB of block store for
+    column-pruned plans that needed ~1GB). A parquet stage gives each
+    consumer real column pruning + predicate pushdown + split-level
+    parallelism, at a comparable one-time write cost (snappy
+    compresses the text-heavy columns 3-5x, so the write often moves
+    FEWER bytes than block-store serialization). This is also the
+    shape that survives a real cluster: stages land on shared storage
+    (set ``SPARK_GRAFT_STAGE_DIR`` to an HDFS/S3 path), where they
+    double as resume points — unlike executor-local checkpoint blocks,
+    which die with the executor.
+
+    Narrow fixed-width intermediates (band keys, weights, edges)
+    should keep ``ckpt`` — for them the parquet encode/decode round
+    trip costs more than row blocks."""
+    import os as _os
+    import uuid as _uuid
+
+    spark = df.sparkSession
+    base = _os.environ.get("SPARK_GRAFT_STAGE_DIR")
+    if not base:
+        local = spark.conf.get("spark.local.dir", "/tmp").split(",")[0]
+        base = _os.path.join(local, "graft_stage")
+    path = f"{base}/{name}_{_uuid.uuid4().hex[:8]}"
+    # 32MB row groups, not the 128MB default: each concurrent writer
+    # task buffers a whole row group on-heap — 8 writers x 128MB of
+    # short-lived column buffers measured 130s of G1 time on the
+    # extract stage; 32MB also matches the scan split size so read
+    # parallelism is preserved.
+    (df.write.mode("overwrite")
+       .option("parquet.block.size", 32 * 1024 * 1024)
+       .parquet(path))
+    return spark.read.parquet(path)
+
+
 def iter_ckpt(df, eager: bool = True):
     """Lineage truncation for ITERATIVE loops (CC label propagation,
     PageRank) — fault-tolerance selectable per session.

@@ -61,19 +61,18 @@ def main() -> int:
         from openalex_neo4j_spark.linking import link_mentions
         from openalex_neo4j_spark.pipeline import build_graph_from_linked
 
-        from openalex_neo4j_spark.session import ckpt
+        from openalex_neo4j_spark.session import ckpt, stage_parquet
 
         def run_pipeline(pg):
-            # lazy ckpt + explicit count per stage: the count is both
-            # the stage-timing boundary AND the materialization barrier
-            # (downstream jobs reference these multiply — lazy-first-use
-            # would duplicate the whole upstream compute; see
-            # session.ckpt)
+            # mentions: lazy row-block ckpt + count as the barrier
+            # (2 consumers; parquet encode of the text-heavy rows
+            # costs more than pruning saves — see pipeline.build_graph)
             mm = ckpt(mentions_from_pages(pg), eager=False)
             mm.count()
             tp = time.time()
-            lk = ckpt(link_mentions(mm), eager=False)
-            lk.count()
+            # linked: COLUMNAR stage — it fans out to 7 node builders
+            # + edges, each column-pruning its own scan
+            lk = stage_parquet(link_mentions(mm), "linked")
             tl = time.time()
             g = build_graph_from_linked(lk)
             return g.triples.count(), tp, tl
