@@ -23,6 +23,9 @@ bookkeeping the reference never needed because it ran single-process.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
 import time
 import uuid
 
@@ -60,6 +63,58 @@ def completed_partitions(spark: SparkSession, root: str, stage: str) -> set[int]
 
 def stage_done(spark: SparkSession, root: str, stage: str) -> bool:
     return -1 in completed_partitions(spark, root, stage)
+
+
+def _is_bare_file_scan(df: DataFrame) -> bool:
+    """True iff ``df``'s analyzed plan is a single leaf relation (a
+    plain ``spark.read.parquet(...)`` with no filter/project/join on
+    top). The file-granular resume path re-reads ``df.inputFiles()``
+    directly, which silently DISCARDS any transformation sitting above
+    the scan — so it is only sound for a bare scan. ``inputFiles()``
+    being non-empty is NOT sufficient: a filtered/joined frame still
+    reports its underlying files."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        return plan.children().isEmpty()
+    except Exception:
+        return False
+
+
+def _extract_scheme(files: list[str], num_buckets: int) -> dict:
+    """Fingerprint of the bucketing scheme: which algorithm assigns
+    pages to buckets, over exactly which file set. Bucket b holds
+    different pages under different schemes/file sets, so lineage rows
+    are only meaningful relative to this fingerprint."""
+    if files:
+        md5 = hashlib.md5("\n".join(sorted(files)).encode()).hexdigest()
+        return {"scheme": "files", "files_md5": md5,
+                "num_buckets": num_buckets}
+    return {"scheme": "hash", "files_md5": None,
+            "num_buckets": num_buckets}
+
+
+def _check_extract_scheme(root: str, scheme: dict,
+                          have_done_partitions: bool) -> None:
+    """Refuse to resume when the recorded scheme doesn't match: a
+    prior run's completed bucket ids reinterpreted under a different
+    bucketing silently drops some pages and duplicates others."""
+    os.makedirs(root, exist_ok=True)
+    meta_path = os.path.join(root, "extract_scheme.json")
+    if have_done_partitions:
+        prev = None
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                prev = json.load(f)
+        if prev != scheme:
+            raise ValueError(
+                "resumable_extract: recorded bucketing scheme "
+                f"{prev} does not match current {scheme}; resuming "
+                "would misassign pages to completed buckets. Use a "
+                f"fresh root or clear {root} to restart."
+            )
+    else:
+        with open(meta_path, "w") as f:
+            json.dump(scheme, f)
 
 
 def bucket_files(files: list[str], num_buckets: int) -> dict[int, list[str]]:
@@ -111,7 +166,12 @@ def resumable_extract(
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    files = sorted(pages.inputFiles())
+    # file-granular path ONLY for a bare file scan — a transformed
+    # frame (filter/project/join above the scan) must fall back to the
+    # hash-bucket filter, else the transformations are silently lost
+    files = sorted(pages.inputFiles()) if _is_bare_file_scan(pages) else []
+    _check_extract_scheme(root, _extract_scheme(files, num_buckets),
+                          bool(done))
     by_bucket = bucket_files(files, num_buckets) if files else None
     schema = pages.schema
 

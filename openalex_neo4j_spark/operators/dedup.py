@@ -95,8 +95,22 @@ def minhash_bands(sigs: DataFrame, band_size: int = 2) -> DataFrame:
     )
 
 
-def minhash_candidates(bands: DataFrame) -> DataFrame:
-    """(a, b) candidate pairs sharing any band bucket, a < b."""
+def minhash_candidates(bands: DataFrame,
+                       max_bucket_df: int = 100) -> DataFrame:
+    """(a, b) candidate pairs sharing any band bucket, a < b.
+
+    Buckets holding more than ``max_bucket_df`` docs are dropped before
+    the self-join: a bucket of m docs yields m^2/2 candidate rows, and
+    a bucket that hot carries no near-dup signal (boilerplate bands).
+    At 100 TB this cap is what keeps the join from going quadratic on
+    skewed buckets; pass ``max_bucket_df=None`` to disable.
+    """
+    if max_bucket_df is not None:
+        hot = (bands.groupBy("band", "band_key")
+               .agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > max_bucket_df)
+               .select("band", "band_key"))
+        bands = bands.join(hot, ["band", "band_key"], "left_anti")
     return (
         bands.alias("x")
         .join(

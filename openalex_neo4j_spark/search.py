@@ -358,8 +358,14 @@ def fulltext_topk(index: DataFrame, query: str, k: int,
         expanded = (
             index.select("tok").distinct()
             .join(F.broadcast(fz),
-                  F.levenshtein(F.col("tok"), F.col("f_tok"))
-                  <= F.col("max_edits"))
+                  # length-band prefilter: tokens whose lengths differ
+                  # by more than max_edits cannot be within edit
+                  # distance — prunes most of the vocab before the
+                  # O(len^2) levenshtein (round-3 verdict finding 3)
+                  (F.abs(F.length(F.col("tok")) - F.length(F.col("f_tok")))
+                   <= F.col("max_edits"))
+                  & (F.levenshtein(F.col("tok"), F.col("f_tok"))
+                     <= F.col("max_edits")))
             .groupBy("tok")
             .agg(F.max("boost").alias("boost"))
             .select("tok", F.lit(False).alias("required"), "boost")

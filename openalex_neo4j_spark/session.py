@@ -111,6 +111,25 @@ def ckpt(df, level: str | None = None, eager: bool = True):
                               storageLevel=getattr(StorageLevel, name))
 
 
+_STAGE_RUN_ROOTS: dict[str, str] = {}
+
+
+def _stage_run_root(base: str) -> str:
+    """One staging directory per (base, process), cleaned up atexit."""
+    import atexit
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    root = _STAGE_RUN_ROOTS.get(base)
+    if root is None:
+        root = _os.path.join(
+            base, f"run_{_os.getpid()}_{_uuid.uuid4().hex[:6]}")
+        _STAGE_RUN_ROOTS[base] = root
+        atexit.register(_shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
 def stage_parquet(df, name: str = "stage"):
     """COLUMNAR materialization barrier for wide, multiply-consumed
     tables (mentions, linked mentions): write once as parquet, hand
@@ -140,7 +159,13 @@ def stage_parquet(df, name: str = "stage"):
     if not base:
         local = spark.conf.get("spark.local.dir", "/tmp").split(",")[0]
         base = _os.path.join(local, "graft_stage")
-    path = f"{base}/{name}_{_uuid.uuid4().hex[:8]}"
+    # stages land under one per-process root removed at interpreter
+    # exit — repeated builds in one process must not leak a full
+    # linked-mention table to disk per run (round-3 advice). For a
+    # non-local SPARK_GRAFT_STAGE_DIR (HDFS/S3) the atexit rmtree is a
+    # no-op; there the stage doubles as a resume point and lifecycle
+    # belongs to the storage layer's retention policy.
+    path = f"{_stage_run_root(base)}/{name}_{_uuid.uuid4().hex[:8]}"
     # 32MB row groups, not the 128MB default: each concurrent writer
     # task buffers a whole row group on-heap — 8 writers x 128MB of
     # short-lived column buffers measured 130s of G1 time on the

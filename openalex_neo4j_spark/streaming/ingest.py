@@ -53,8 +53,29 @@ def stream_ingest_mentions(
     With ``available_now=True`` the query drains everything currently
     in ``pages_dir`` and stops (batch-like test/backfill mode);
     otherwise it runs continuously.
+
+    Output layout: ``<out_root>/mentions_stream/epoch=<id>/...`` —
+    consumers see an extra ``epoch`` long column (drop it if you want
+    the flat mention schema). A pre-epoch-layout output directory
+    (flat parquet files at the top level) is REJECTED at start: mixing
+    flat files with partition dirs breaks partition discovery and can
+    double-count rows. Migrate old flat files into an ``epoch=-1``
+    subdirectory or point the stream at a fresh ``out_root``.
     """
+    import os
+
     from openalex_neo4j_spark.extract import mentions_from_pages
+
+    ms_dir = os.path.join(out_root, "mentions_stream")
+    if os.path.isdir(ms_dir):
+        flat = [f for f in os.listdir(ms_dir)
+                if not f.startswith(("epoch=", "_", "."))]
+        if flat:
+            raise ValueError(
+                f"{ms_dir} holds non-partitioned files {flat[:3]} from a "
+                "pre-epoch-layout run; move them into an epoch=-1/ "
+                "subdirectory or use a fresh out_root."
+            )
 
     def ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
         t0 = time.time()

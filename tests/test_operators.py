@@ -95,6 +95,22 @@ class TestMinHash:
         assert got[0] == got[1] == "0"
         assert got[4] == "4"
 
+    def test_hot_bucket_cap_bounds_candidates(self, spark):
+        """A band bucket shared by 1k docs must NOT yield ~500k
+        candidate pairs: the df cap drops it before the self-join
+        (round-3 verdict finding 4). Docs sharing a cold bucket still
+        pair up."""
+        rows = [(i, 0, "HOT") for i in range(1000)]
+        rows += [(2000, 1, "cold"), (2001, 1, "cold")]
+        bands = spark.createDataFrame(rows, ["id", "band", "band_key"])
+        pairs = {(r["a"], r["b"])
+                 for r in minhash_candidates(bands).collect()}
+        assert pairs == {(2000, 2001)}
+        # cap disabled -> quadratic candidates come back
+        n_uncapped = minhash_candidates(
+            bands.filter(F.col("id") < 10), max_bucket_df=None).count()
+        assert n_uncapped == 45
+
 
 class TestSimHash:
     def test_identical_equal_similar_close(self, docs):

@@ -153,6 +153,69 @@ def test_file_granular_chunk_reads_only_its_files(spark, pages,
     assert resumed == direct
 
 
+def test_transformed_input_keeps_its_transformations(spark, pages,
+                                                     tmp_path_factory):
+    """A FILTERED file-backed frame must NOT take the file-granular
+    path: inputFiles() still reports the raw files, and re-reading them
+    would silently discard the filter (round-3 advice, high). Pinned:
+    extraction over stored.filter(...) must only emit mentions from
+    rows passing the filter."""
+    root = str(tmp_path_factory.mktemp("resume_xform"))
+    pages_df, _ = pages
+    src = str(tmp_path_factory.mktemp("pages_src_xform"))
+    pages_df.repartition(4).write.mode("overwrite").parquet(src)
+    stored = spark.read.parquet(src)
+
+    urls = sorted(r["url"] for r in stored.select("url").collect())
+    keep = set(urls[: len(urls) // 2])
+    filtered = stored.filter(F.col("url").isin(list(keep)))
+    assert filtered.inputFiles()  # the trap: files still visible
+
+    m = resumable_extract(spark, filtered, root, run_id="xf",
+                          num_buckets=4, chunk_size=4)
+    got_urls = {r["url"] for r in m.select("url").distinct().collect()}
+    assert got_urls <= keep, (
+        "mentions extracted from filtered-out pages — the file-granular "
+        "path discarded the caller's filter")
+
+    from openalex_neo4j_spark.extract import mentions_from_pages
+    expect = {r["url"] for r in
+              mentions_from_pages(filtered).select("url").collect()}
+    assert got_urls == expect
+
+
+def test_resume_refuses_scheme_mismatch(spark, pages, tmp_path_factory):
+    """Lineage bucket ids are only meaningful under the bucketing
+    scheme that produced them: a hash-bucket run resumed as a
+    file-round-robin run (or a changed file set) must refuse, not
+    silently drop/duplicate pages (round-3 advice, medium)."""
+    root = str(tmp_path_factory.mktemp("resume_scheme"))
+    pages_df, _ = pages
+
+    # partial run under the hash scheme (in-memory frame)
+    resumable_extract(spark, pages_df, root, run_id="s1",
+                      num_buckets=8, chunk_size=2, max_chunks=1)
+    assert len(completed_partitions(spark, root, "extract")) == 2
+
+    # same scheme resumes fine
+    resumable_extract(spark, pages_df, root, run_id="s2",
+                      num_buckets=8, chunk_size=2, max_chunks=1)
+    assert len(completed_partitions(spark, root, "extract")) == 4
+
+    # file-backed input = different scheme -> refuse
+    src = str(tmp_path_factory.mktemp("pages_src_scheme"))
+    pages_df.repartition(4).write.mode("overwrite").parquet(src)
+    stored = spark.read.parquet(src)
+    with pytest.raises(ValueError, match="scheme"):
+        resumable_extract(spark, stored, root, run_id="s3",
+                          num_buckets=8, chunk_size=2)
+
+    # different num_buckets under the same scheme -> refuse too
+    with pytest.raises(ValueError, match="scheme"):
+        resumable_extract(spark, pages_df, root, run_id="s4",
+                          num_buckets=16, chunk_size=2)
+
+
 def test_file_granular_chunk_plan_scans_only_chunk_files(spark, pages,
                                                          tmp_path_factory):
     """Plan-level pin: a per-bucket scan built the way resumable_extract

@@ -41,6 +41,22 @@ def test_stream_ingest_drains_and_records_lineage(spark, pages_dir,
     assert spark.read.parquet(f"{out}/mentions_stream").count() == scholarly
 
 
+def test_rejects_pre_epoch_flat_layout(spark, pages_dir,
+                                       tmp_path_factory):
+    """A mentions_stream dir holding flat (non-epoch-partitioned)
+    files from a pre-layout-change run must be rejected at start, not
+    silently mixed with epoch= partitions (round-3 advice)."""
+    import os
+
+    d, _ = pages_dir
+    out = str(tmp_path_factory.mktemp("stream_flat"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_flat"))
+    os.makedirs(f"{out}/mentions_stream")
+    open(f"{out}/mentions_stream/part-00000.parquet", "w").close()
+    with pytest.raises(ValueError, match="epoch"):
+        stream_ingest_mentions(spark, d, out, ckpt, available_now=True)
+
+
 def test_lineage_counts_per_epoch_not_cumulative(spark, pages_dir,
                                                  tmp_path_factory):
     """Each epoch's lineage row records that epoch's mention count only:
