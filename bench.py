@@ -69,27 +69,42 @@ def main() -> int:
                       shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        dt = time.time() - t0
-        queries[name] = round(dt, 3)
-        total += dt
-
-    # KG pipeline: timed from parquet read (corpus gen/cache untimed)
+    # min-of-N interleaved passes (round-3 verdict item 3): this host
+    # is an overcommitted hypervisor where a single storm reads as a
+    # 60% "regression" on unchanged code; interleaving whole suite
+    # passes and taking per-query minima bounds that noise the same way
+    # scripts/scaling_bench.py does. Spread (max/min per query) is
+    # reported so a stormy run is visible instead of silently absorbed.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     n_works, filler = kg_scale_for(sf_dir)
     pages_path = ensure_pages_parquet(spark, n_works, filler,
                                       num_partitions=cpus)
-    t0 = time.time()
-    pages = spark.read.parquet(pages_path)
-    g = build_graph(pages)
-    kg_triples = g.triples.count()
-    kg_dt = time.time() - t0
-    queries["kg_build"] = round(kg_dt, 3)
-    total += kg_dt
+
+    samples: dict[str, list[float]] = {}
+    kg_triples = 0
+    for _ in range(repeats):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            samples.setdefault(name, []).append(time.time() - t0)
+        # KG pipeline: timed from parquet read (corpus gen untimed)
+        t0 = time.time()
+        pages = spark.read.parquet(pages_path)
+        g = build_graph(pages)
+        kg_triples = g.triples.count()
+        samples.setdefault("kg_build", []).append(time.time() - t0)
+
+    queries = {n: round(min(ts), 3) for n, ts in samples.items()}
+    # spread over passes >= 2: pass 1 carries JIT/codegen/page-cache
+    # warmup, which would drown the host-storm signal spread exists to
+    # expose. The min still considers every pass.
+    spread = {
+        n: round(max(ts[1:] or ts) / min(ts[1:] or ts), 2)
+        for n, ts in samples.items()
+    }
+    total = sum(queries.values())
+    kg_dt = queries["kg_build"]
 
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
     print(json.dumps({
@@ -97,6 +112,8 @@ def main() -> int:
         "value": round(total, 3),
         "unit": "sec",
         "queries": queries,
+        "spread_max_over_min": spread,
+        "repeats": repeats,
         "sf": sf,
         "cpus": cpus,
         "kg_pages": n_works,
