@@ -20,6 +20,16 @@ SPARK_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # 8MB advisory target, not the 64MB default: AQE coalesced the
+    # edge-assembly union's final stage (7 dedup exchanges, ~84MB
+    # total) down to ONE task — a hard serialization point that capped
+    # the whole phase at 1/N of the cluster (event-log evidence:
+    # s18 sr=84MB t=1 at every core count; 8m restores 14 tasks and
+    # cuts the stage wall ~3x at 4 cores). 1MB floor keeps the small
+    # fixed-width link-stage shuffles from collapsing to 1-2
+    # partitions mid-pipeline.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # sized for heavy rows: pages.html is 15-50KB, so 10k-row arrow
@@ -130,7 +140,7 @@ def _stage_run_root(base: str) -> str:
     return root
 
 
-def stage_parquet(df, name: str = "stage"):
+def stage_parquet(df, name: str = "stage", partition_by: list[str] | None = None):
     """COLUMNAR materialization barrier for wide, multiply-consumed
     tables (mentions, linked mentions): write once as parquet, hand
     back a fresh scan of it.
@@ -148,9 +158,15 @@ def stage_parquet(df, name: str = "stage"):
     double as resume points — unlike executor-local checkpoint blocks,
     which die with the executor.
 
-    Narrow fixed-width intermediates (band keys, weights, edges)
-    should keep ``ckpt`` — for them the parquet encode/decode round
-    trip costs more than row blocks."""
+    Narrow fixed-width intermediates (band keys, weights) should keep
+    ``ckpt`` — for them the parquet encode/decode round trip costs
+    more than row blocks.
+
+    ``partition_by``: partition the staged table (e.g. edges by
+    ``pred``) so downstream slice consumers get partition pruning on
+    top of column pruning. A union whose branches each carry a
+    constant partition value writes cleanly — every task lands in one
+    partition dir, no pre-shuffle needed."""
     import os as _os
     import uuid as _uuid
 
@@ -171,9 +187,11 @@ def stage_parquet(df, name: str = "stage"):
     # short-lived column buffers measured 130s of G1 time on the
     # extract stage; 32MB also matches the scan split size so read
     # parallelism is preserved.
-    (df.write.mode("overwrite")
-       .option("parquet.block.size", 32 * 1024 * 1024)
-       .parquet(path))
+    w = (df.write.mode("overwrite")
+         .option("parquet.block.size", 32 * 1024 * 1024))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
     return spark.read.parquet(path)
 
 
