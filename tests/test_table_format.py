@@ -1,0 +1,199 @@
+"""Snapshot table format: versioned reads, MERGE with file pruning,
+time travel, optimistic concurrency, crash-orphan reclaim."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from openalex_neo4j_spark.table_format import (
+    CommitConflict, SnapshotTable, _list_versions, _manifest_path,
+)
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id string, val int")
+
+
+def test_overwrite_read_roundtrip(spark, root):
+    t = SnapshotTable(spark, root, key="id")
+    v = t.overwrite(_df(spark, [("a", 1), ("b", 2)]))
+    assert v == 1
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got == {"a": 1, "b": 2}
+
+
+def test_append_accumulates_and_history(spark, root):
+    t = SnapshotTable(spark, root, key="id")
+    t.append(_df(spark, [("a", 1)]))
+    t.append(_df(spark, [("b", 2)]))
+    assert t.read().count() == 2
+    hist = t.history()
+    assert [h["operation"] for h in hist] == ["append", "append"]
+    assert [h["rows"] for h in hist] == [1, 2]
+
+
+def test_merge_updates_matched_inserts_unmatched(spark, root):
+    t = SnapshotTable(spark, root, key="id")
+    t.overwrite(_df(spark, [("a", 1), ("b", 2), ("c", 3)]))
+    t.merge(_df(spark, [("b", 20), ("d", 40)]))  # update b, insert d
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got == {"a": 1, "b": 20, "c": 3, "d": 40}
+
+
+def test_merge_rejects_duplicate_update_keys(spark, root):
+    t = SnapshotTable(spark, root, key="id")
+    t.overwrite(_df(spark, [("a", 1)]))
+    with pytest.raises(ValueError, match="not unique"):
+        t.merge(_df(spark, [("a", 1), ("a", 2)]))
+
+
+def test_merge_prunes_disjoint_groups(spark, root):
+    """A merge touching only the high key range must carry the
+    low-range group into the new manifest BY REFERENCE (same data
+    path), not rewrite it — the manifest-stats pruning that makes a
+    small merge into a huge table cheap."""
+    t = SnapshotTable(spark, root, key="id")
+    t.append(_df(spark, [("a", 1), ("b", 2)]))      # group: keys a-b
+    t.append(_df(spark, [("x", 24), ("y", 25)]))    # group: keys x-y
+    before = {g["path"]: g for g in t._load_manifest(2)["groups"]}
+    low_group = next(p for p, g in before.items() if g["min_key"] == "a")
+
+    t.merge(_df(spark, [("y", 250), ("z", 260)]))   # touches x-y only
+    after = t._load_manifest(3)["groups"]
+    after_paths = [g["path"] for g in after]
+    assert low_group in after_paths          # untouched, by reference
+    assert len(after) == 2                   # kept + one rewritten
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got == {"a": 1, "b": 2, "x": 24, "y": 250, "z": 260}
+
+
+def test_time_travel_by_version_and_timestamp(spark, root):
+    t = SnapshotTable(spark, root, key="id")
+    t.overwrite(_df(spark, [("a", 1)]))
+    t.merge(_df(spark, [("a", 2)]))
+    assert t.read(version=1).collect()[0]["val"] == 1
+    assert t.read(version=2).collect()[0]["val"] == 2
+    ts1 = t._load_manifest(1)["ts"]
+    assert t.read(as_of=ts1).collect()[0]["val"] == 1
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.read(as_of=ts1 - 100)
+    with pytest.raises(ValueError):
+        t.read(version=1, as_of=ts1)
+
+
+def test_commit_conflict_retries_over_winner(spark, root):
+    """Simulate a concurrent writer landing the version this append
+    races for: the append must re-read the winner's manifest as its
+    base and commit on top — the winner's rows survive."""
+    t = SnapshotTable(spark, root, key="id")
+    t.overwrite(_df(spark, [("a", 1)]))
+    # a "concurrent writer" claims version 2, appending key w
+    w = SnapshotTable(spark, root, key="id")
+    w.append(_df(spark, [("w", 9)]))
+    assert t.current_version() == 2
+    t.append(_df(spark, [("b", 2)]))  # internally retried onto base 2
+    assert t.current_version() == 3
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got == {"a": 1, "w": 9, "b": 2}
+
+
+def test_commit_conflict_raises_after_repeated_losses(spark, root, tmp_path):
+    t = SnapshotTable(spark, root, key="id")
+    t.overwrite(_df(spark, [("a", 1)]))
+    real_commit = t._commit
+
+    def always_lose(base, op, groups):
+        # another writer always beats us to base+1
+        path = _manifest_path(root, t.current_version() + 1)
+        with open(path, "w") as f:
+            json.dump({"format_version": 1, "version": 0, "parent": None,
+                       "operation": "append", "ts": 0.0, "key": "id",
+                       "groups": []}, f)
+        return real_commit(base, op, groups)
+
+    t._commit = always_lose
+    with pytest.raises(CommitConflict, match="lost 5"):
+        t.append(_df(spark, [("b", 2)]))
+
+
+def test_snapshot_isolation_reader_pins_version(spark, root):
+    """A DataFrame obtained before a later commit keeps reading the
+    old groups (immutable data dirs) — no torn reads."""
+    t = SnapshotTable(spark, root, key="id")
+    t.overwrite(_df(spark, [("a", 1)]))
+    pinned = t.read(version=1)
+    t.merge(_df(spark, [("a", 2)]))
+    assert pinned.collect()[0]["val"] == 1
+    assert t.read().collect()[0]["val"] == 2
+
+
+def test_delete_where(spark, root):
+    t = SnapshotTable(spark, root, key="id")
+    t.overwrite(_df(spark, [("a", 1), ("b", 2), ("c", 3)]))
+    t.delete_where("val >= 2")
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got == {"a": 1}
+    # delete everything -> empty snapshot still readable
+    t.delete_where("true")
+    assert t.read().count() == 0
+
+
+def test_vacuum_reclaims_orphans_and_expired(spark, root):
+    t = SnapshotTable(spark, root, key="id")
+    t.overwrite(_df(spark, [("a", 1)]))
+    t.merge(_df(spark, [("a", 2)]))  # v1's group now unreferenced by v2
+    # crash orphan: a data dir with no manifest pointing at it
+    orphan = os.path.join(root, "data", "deadbeef")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-0.parquet"), "wb").close()
+
+    # both snapshots live -> only the orphan goes
+    removed = t.vacuum()
+    assert removed == [os.path.join("data", "deadbeef")]
+    assert t.read(version=1).collect()[0]["val"] == 1
+
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [1]
+    removed = t.vacuum()
+    assert len(removed) == 1                  # v1's group reclaimed
+    assert t.read().collect()[0]["val"] == 2  # current state intact
+    with pytest.raises(FileNotFoundError):
+        t._load_manifest(1)
+
+
+def test_merge_into_empty_table(spark, root):
+    t = SnapshotTable(spark, root, key="id")
+    t.merge(_df(spark, [("a", 1)]))
+    assert t.read().collect()[0]["val"] == 1
+    assert t.history()[0]["operation"] == "merge"
+
+
+def test_parity_with_upsert_nodes_semantics(spark, root, tmp_path):
+    """SnapshotTable.merge and materialize.upsert_nodes implement the
+    same last-wins MERGE contract — verify identical end states on the
+    same update sequence."""
+    from openalex_neo4j_spark.materialize import upsert_nodes
+
+    base = _df(spark, [("a", 1), ("b", 2)])
+    upd = _df(spark, [("b", 20), ("c", 30)])
+
+    t = SnapshotTable(spark, root, key="id")
+    t.overwrite(base)
+    t.merge(upd)
+
+    ppath = str(tmp_path / "plain")
+    base.write.parquet(ppath)
+    plain = upsert_nodes(spark, ppath, upd, key="id")
+
+    lhs = {(r["id"], r["val"]) for r in t.read().collect()}
+    rhs = {(r["id"], r["val"]) for r in plain.collect()}
+    assert lhs == rhs
