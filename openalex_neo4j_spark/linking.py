@@ -43,6 +43,10 @@ from openalex_neo4j_spark.session import ckpt
 NUM_HASHES = 16
 BAND_SIZE = 2
 COSINE_THRESHOLD = 0.60
+#: broadcast the tid->cluster_id map into the final mention join when
+#: the title-group count fits (8M rows ~ a few hundred MB on a 16g
+#: driver); larger corpora take the shuffle-join path
+BROADCAST_CLUSTER_MAP_MAX_GROUPS = 8_000_000
 
 
 def _with_work_key(mentions: DataFrame) -> DataFrame:
@@ -352,6 +356,21 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
             F.concat(F.lit("title:"), F.min("norm_title").over(comp_w)),
         ).alias("cluster_id"),
     )
+    # The final map-back join is against the FULL mention payload
+    # (title/abstract/author arrays — the heaviest rows in the
+    # pipeline). tid_to_cluster sits behind a window over a ckpt'd
+    # plan, so Catalyst has no size estimate and plans a sort-merge
+    # join: the whole text-heavy mention table gets serialized through
+    # a shuffle just to pick up one ~50-byte cluster_id per row. AQE's
+    # runtime SMJ->BHJ conversion still WRITES the probe-side shuffle
+    # (localShuffleReader only skips the network read). n_groups is
+    # already known from the counts collect above, so broadcast the
+    # cluster map outright when it provably fits (one (long, short
+    # string) row per title group), eliminating the mention-table
+    # exchange entirely; beyond the cap (cluster-scale corpora where
+    # the map itself is GBs) fall back to the shuffle join.
+    if n_groups <= BROADCAST_CLUSTER_MAP_MAX_GROUPS:
+        tid_to_cluster = F.broadcast(tid_to_cluster)
 
     out = (
         m.withColumn("tid", tid)

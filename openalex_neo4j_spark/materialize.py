@@ -53,7 +53,7 @@ def _commit_table(staged: str, path: str) -> None:
 
 
 def upsert_nodes(spark: SparkSession, path: str, new_df: DataFrame,
-                 key: str = "id") -> DataFrame:
+                 key: str = "id", backend: str = "plain") -> DataFrame:
     """Last-wins MERGE upsert (A2): re-imported rows overwrite stored
     properties, like the reference's ``MERGE … SET n += item``
     (neo4j_client.py:246-252; last-wins asserted in its
@@ -65,7 +65,19 @@ def upsert_nodes(spark: SparkSession, path: str, new_df: DataFrame,
     table to a staging dir, then rename-commit — a crash at any point
     leaves the previous table readable (kill-test in
     tests/test_import_query.py).
+
+    ``backend="snapshot"`` routes the same MERGE through
+    :class:`~openalex_neo4j_spark.table_format.SnapshotTable` instead:
+    versioned snapshots, min/max-key group pruning (only overlapping
+    data groups rewritten), time travel, and safe concurrent writers —
+    at the cost of the snapshot layout (``_snapshots/`` + ``data/``)
+    replacing the plain parquet directory.
     """
+    if backend == "snapshot":
+        from openalex_neo4j_spark.table_format import SnapshotTable
+        t = SnapshotTable(spark, path, key=key)
+        t.merge(new_df)
+        return t.read()
     _recover_table(path)
     try:
         old = spark.read.parquet(path).withColumn("_gen", F.lit(0))

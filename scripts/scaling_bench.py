@@ -70,6 +70,14 @@ def run_once(cores: int, pages_path: str, zpath: str) -> dict:
         # the faithful per-executor-local-storage proxy on this box.
         "--conf", f"spark.local.dir=/dev/shm/spark-local-{cores}",
     ]
+    if os.environ.get("SCALE_EVLOG"):
+        # per-stage cpuSum/shuffle-byte evidence for efficiency
+        # adjudication (BENCH/BASELINE.md); off by default — the log
+        # write adds driver-side work to the timed region
+        evdir = os.environ["SCALE_EVLOG"]
+        os.makedirs(evdir, exist_ok=True)
+        cmd += ["--conf", "spark.eventLog.enabled=true",
+                "--conf", f"spark.eventLog.dir=file://{evdir}"]
     # identical engine settings as library sessions (session.SPARK_CONF:
     # AQE, 64MB broadcast threshold, Arrow batch sizing, columnar batch
     # size, mmap thresholds, UTC) — submitted jobs must not silently run

@@ -133,3 +133,32 @@ def test_ckpt_storage_level_is_disk_only(spark):
     assert newest.memSize() == 0, "ckpt blocks must not sit on-heap"
     assert newest.diskSize() > 0
     assert "Disk" in newest.storageLevel().description()
+
+
+def test_cluster_map_join_is_broadcast(spark, tmp_path):
+    """The final mention->cluster_id map-back join in link_mentions
+    must BROADCAST the (tid, cluster_id) map at in-cap group counts:
+    a sort-merge join there serializes the full text-heavy mention
+    payload (title/abstract/author arrays) through a shuffle just to
+    attach a ~50-byte cluster id per row — the widest shuffle in the
+    link phase. AQE's runtime SMJ->BHJ conversion still writes the
+    probe-side shuffle files; only the planned broadcast avoids the
+    exchange entirely (linking.BROADCAST_CLUSTER_MAP_MAX_GROUPS)."""
+    from openalex_neo4j_spark.corpus import build_world, write_pages_parquet
+    from openalex_neo4j_spark.extract import mentions_from_pages
+    from openalex_neo4j_spark.linking import link_mentions
+
+    world = build_world(30, seed=11)
+    path = str(tmp_path / "pages")
+    write_pages_parquet(world, path, num_files=2)
+    linked = link_mentions(mentions_from_pages(spark.read.parquet(path)))
+
+    plan = explain_str(linked, "formatted")
+    # the map-back join is keyed on tid and must build (broadcast) the
+    # cluster-map side: its detail section lists tid as a join key
+    bhj = [b for b in plan.split("\n(") if b.startswith(tuple("0123456789"))
+           and "BroadcastHashJoin" in b and "keys [1]: [tid" in b]
+    assert bhj, f"cluster-map join not broadcast:\n{plan[:4000]}"
+    # and the mention (probe) side of the link output must not sit
+    # behind a hash-partitioned exchange on tid
+    assert "hashpartitioning(tid" not in plan

@@ -197,3 +197,22 @@ def test_parity_with_upsert_nodes_semantics(spark, root, tmp_path):
     lhs = {(r["id"], r["val"]) for r in t.read().collect()}
     rhs = {(r["id"], r["val"]) for r in plain.collect()}
     assert lhs == rhs
+
+
+def test_upsert_nodes_snapshot_backend(spark, tmp_path):
+    """materialize.upsert_nodes(backend='snapshot') has the same
+    last-wins MERGE contract as the plain path, plus history."""
+    from openalex_neo4j_spark.materialize import upsert_nodes
+
+    path = str(tmp_path / "nodes_work")
+    upsert_nodes(spark, path, _df(spark, [("a", 1), ("b", 2)]),
+                 backend="snapshot")
+    got = upsert_nodes(spark, path, _df(spark, [("b", 20), ("c", 3)]),
+                       backend="snapshot")
+    assert {(r["id"], r["val"]) for r in got.collect()} == {
+        ("a", 1), ("b", 20), ("c", 3)}
+    t = SnapshotTable(spark, path, key="id")
+    assert [h["operation"] for h in t.history()] == ["merge", "merge"]
+    # time travel still sees the pre-merge state
+    assert {(r["id"], r["val"]) for r in t.read(version=1).collect()} == {
+        ("a", 1), ("b", 2)}
