@@ -71,44 +71,41 @@ def _minhash_bands(titles: DataFrame, extra_cols: list[str] | None = None
     operators/dedup.py where the DuckDB-oracle contract needs it;
     linking only needs deterministic blocking, which xxhash64 gives.
 
-    Shape: posexplode words -> window leads build each word-3-shingle
-    -> 16 per-seed hash columns -> groupBy min. Every operator here is
-    codegen/Tungsten-friendly. The tempting zero-shuffle alternative —
-    nested ``transform``/``array_min`` lambdas in one projection — is
-    10-30x slower at 300k+ titles: Spark higher-order functions never
-    enter whole-stage codegen (interpreted ``eval`` per element, boxed
-    collections), and CollapseProject inlines the shingle construction
-    into the per-seed lambda so it re-evaluates NUM_HASHES times per
-    row (confirmed by thread dumps: ArrayTransform.nullSafeEval /
-    ConcatWs.eval hot). The two small shuffles here (words window +
-    signature agg, both map-side combined, fixed-width hash values)
-    are far cheaper at any scale."""
+    Shape: row-local shingle array (``transform`` over a 0-based
+    ``sequence`` of shingle starts, out-of-range words null via ``get``
+    and skipped by ``concat_ws``) -> explode -> 16 per-seed hash
+    columns -> groupBy min. ZERO shuffles before the signature
+    aggregation, and nothing wider than the (t, extras) group row ever
+    enters an exchange. Two earlier shapes both lost to this one:
+    (a) nested ``transform``/``array_min`` lambdas computing the whole
+    signature in one projection — 10-30x slower at 300k+ titles
+    (higher-order functions are interpreted per element, and
+    CollapseProject re-evaluated the shingle construction once per
+    seed inside each ``array_min`` lambda); (b) posexplode + window
+    ``lead`` shingling — all-codegen, but the window shuffled the full
+    exploded WORD stream with the title string + extras on every row
+    (~10x the group count, the widest exchange in linking), then paid
+    a second distinct shuffle that the ``min`` aggregation makes
+    redundant (duplicate shingles cannot change a min). Here the one
+    interpreted ``transform`` builds each shingle exactly once per
+    row; every downstream operator (explode, xxhash64, partial-agg
+    min) is codegen."""
     extra_cols = extra_cols or []
     arr = F.split(F.col("t"), " ")
-    # Window partitions by a per-ROW surrogate id, not (t, extra_cols):
-    # if the input ever carried duplicate rows, duplicate _pos values
-    # inside one (t, extras) partition would interleave words across
-    # rows and corrupt the lead()-built shingles ('w0 w0 w1'). The row
-    # id keeps the helper correct for any caller at the same cost (the
-    # window shuffles either way; only the key changes).
-    words = titles.withColumn("_rid", F.monotonically_increasing_id()).select(
-        "t", *extra_cols, "_rid", F.size(arr).alias("_n"),
-        F.posexplode(arr).alias("_pos", "_w"),
+    # 0-based shingle starts 0..greatest(n-3, 0): full 3-word windows,
+    # or the whole (short) title when n < 3 — bit-identical shingle
+    # strings to the window/lead formulation (verified on fixtures)
+    shingle_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(arr) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.get(arr, i), F.get(arr, i + 1),
+                              F.get(arr, i + 2)),
     )
-    win = Window.partitionBy("_rid").orderBy("_pos")
-    # shingle at 1-based position i exists for i in
-    # 1..greatest(size-2, 1): full 3-word windows, or the whole (short)
-    # title when size < 3 (concat_ws skips the null leads)
-    shingled = (
-        words.withColumn(
-            "_sh",
-            F.concat_ws(" ", F.col("_w"), F.lead("_w", 1).over(win),
-                        F.lead("_w", 2).over(win)),
-        )
-        .filter(F.col("_pos") < F.greatest(F.col("_n") - 2, F.lit(1)))
-        .select("t", *extra_cols, "_sh")
-        .distinct()
-    )
+    # null titles produce no shingles (the explode of a null word array
+    # dropped them in the window formulation too — without the filter,
+    # size(null)=null would make every null-t row emit one '' shingle
+    # and collapse all null-title groups into one LSH bucket)
+    shingled = titles.filter(F.col("t").isNotNull()).select(
+        "t", *extra_cols, F.explode(shingle_arr).alias("_sh"))
     hash_cols = [
         F.xxhash64(F.concat_ws("|", F.lit(str(seed)), F.col("_sh")))
         .alias(f"_h{seed}")
