@@ -40,7 +40,8 @@ def make_zip() -> str:
     return zpath
 
 
-def run_once(cores: int, pages_path: str, zpath: str) -> dict:
+def run_once(cores: int, pages_path: str, zpath: str,
+             shuffle_partitions: int | None = None) -> dict:
     cmd = []
     if os.environ.get("SCALE_PIN", "1") == "1":
         # Pin the WHOLE process tree (JVM + pyspark daemon + Python UDF
@@ -51,13 +52,22 @@ def run_once(cores: int, pages_path: str, zpath: str) -> dict:
         # leg's throughput and understating scaling efficiency. A real
         # N-executor cluster gives *everything* N*c cores total.
         cmd += ["taskset", "-c", f"0-{cores - 1}"]
+    # Same shuffle partitioning on BOTH legs, sized for the larger
+    # (4x tasks per stage there: load-balanced under skewed task
+    # durations). A per-leg 4*cores sizing made the two legs run
+    # DIFFERENT physical plans — a real cluster does not re-partition
+    # its shuffles when you scale the executor count; it holds the
+    # partitioning (sized to the data / the biggest deployment) and
+    # varies only the slots executing it. The per-leg variant also
+    # biased the comparison: the small leg ran fewer, fatter tasks
+    # and so paid less per-task scheduler/serialization overhead per
+    # unit of work than the big leg.
+    if shuffle_partitions is None:
+        shuffle_partitions = 4 * cores
     cmd += [
         "spark-submit", "--master", f"local[{cores}]",
         "--driver-memory", "16g",
-        # 4x cores: tasks per stage stay load-balanced under skewed
-        # task durations (partitions == cores leaves cores idle behind
-        # the slowest task). Same rule both legs — fair comparison.
-        "--conf", f"spark.sql.shuffle.partitions={4 * cores}",
+        "--conf", f"spark.sql.shuffle.partitions={shuffle_partitions}",
         # the link-stage shuffles are small (fixed-width keys, ~MBs):
         # AQE's 1MB floor would coalesce them to 1-2 partitions and
         # serialize the middle of the pipeline at any core count
@@ -133,10 +143,11 @@ def main() -> int:
     # the sandbox host is shared/noisy: interleave legs, keep the best
     # (least noise-contaminated) run per leg
     repeats = int(os.environ.get("SCALE_REPEATS", "3"))
+    shuffle_parts = 4 * cores_b
     runs_a, runs_b = [], []
     for _ in range(repeats):
-        runs_a.append(run_once(cores_a, pages_path, zpath))
-        runs_b.append(run_once(cores_b, pages_path, zpath))
+        runs_a.append(run_once(cores_a, pages_path, zpath, shuffle_parts))
+        runs_b.append(run_once(cores_b, pages_path, zpath, shuffle_parts))
     r8 = min(runs_a, key=lambda r: r["pipeline_sec"])
     r32 = min(runs_b, key=lambda r: r["pipeline_sec"])
     print(json.dumps({"runs_a": runs_a, "runs_b": runs_b}), file=sys.stderr)
