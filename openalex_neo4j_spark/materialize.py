@@ -156,6 +156,27 @@ def write_graph(g: GraphTables, root: str,
     # shrink); the counts afterwards read parquet footer metadata only
     from concurrent.futures import ThreadPoolExecutor
 
+    # Pre-materialize every lazily-checkpointed node plan SERIALLY
+    # before fanning out: Spark's RDD checkpoint machinery has a
+    # lock-order inversion — RDD.doCheckpoint takes the global
+    # RDDCheckpointData$ lock then the RDD's own lock, while the
+    # DAGScheduler's getCacheLocs/visit takes the RDD lock then (via
+    # RDD.checkpointRDD -> isCheckpointed) the global lock — so two
+    # concurrent jobs that share an UNMATERIALIZED localCheckpoint RDD
+    # can deadlock the driver (observed in CI: an action thread
+    # blocked in RDDCheckpointData.checkpoint against
+    # dag-scheduler-event-loop in getCacheLocs, both on the same node
+    # table; the suite hung for 35+ min on an idle machine). The
+    # triples plan references every node table, so the write fan-out
+    # below is exactly that race. One count() per node table closes
+    # the window (and also prevents concurrent first-materialization
+    # from duplicating the upstream aggregation — session.ckpt
+    # docstring); the node tables are aggregation outputs, orders of
+    # magnitude smaller than the corpus, and the expensive part — the
+    # 9 table writes — stays concurrent.
+    for df in g.nodes.values():
+        df.count()
+
     jobs = [(label, f"{root}/nodes_{label.lower()}", df, None)
             for label, df in g.nodes.items()]
     jobs.append(("edges", f"{root}/edges", g.edges, ["pred"]))

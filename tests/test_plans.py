@@ -162,3 +162,24 @@ def test_cluster_map_join_is_broadcast(spark, tmp_path):
     # and the mention (probe) side of the link output must not sit
     # behind a hash-partitioned exchange on tid
     assert "hashpartitioning(tid" not in plan
+
+
+def test_minhash_banding_has_no_window_and_one_exchange(spark):
+    """The LSH banding plan must stay window-free: shingles are built
+    row-locally (transform over shingle starts) so the only exchange
+    before band emission is the signature min-aggregation. The earlier
+    window/lead formulation shuffled the full exploded WORD stream
+    (title string + extras on every word row — the widest exchange in
+    linking) and paid a distinct shuffle the min-agg makes redundant."""
+    from openalex_neo4j_spark.linking import _minhash_bands
+
+    titles = spark.createDataFrame(
+        [("deep learning for graphs", 1), ("one", 2)], "t string, tid int")
+    # simple mode: each operator appears exactly once in the tree
+    # (formatted repeats names as detail-section headers)
+    plan = explain_str(_minhash_bands(titles, ["tid"]), "simple")
+    assert "Window" not in plan, "banding must not use a window"
+    n_exch = plan.count("Exchange")
+    assert n_exch == 1, (
+        "banding must shuffle exactly once (the signature aggregation); "
+        f"got {n_exch} exchanges:\n{plan}")
