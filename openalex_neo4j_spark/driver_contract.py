@@ -154,6 +154,21 @@ def q_fulltext_fuzzy(spark, sf):
                          lucene=True)
 
 
+def q_fulltext_range(spark, sf):
+    """M6 + Lucene range/grouping operators (round 4 — closes the last
+    parse_lucene_lite gap): ``[ba TO bz]^3`` expands to every
+    vocabulary token lexicographically inside the bounds (boost 3),
+    ``+(merge vector)`` requires at least one group member per doc,
+    ``-slow`` excludes, ``stream^2`` boosts. Oracle: the same index +
+    range expansion + group predicate in DuckDB."""
+    from openalex_neo4j_spark.search import (build_fulltext_index,
+                                             fulltext_topk)
+    d = _t(spark, sf, "documents")
+    idx = build_fulltext_index(d, id_col="doc_id", text_col="text")
+    return fulltext_topk(idx, "[ba TO bz]^3 +(merge vector) -slow stream^2",
+                         10, round_dp=6, lucene=True)
+
+
 def q_filter_orders(spark, sf):
     """F4/D4 predicate + projection with pushdown."""
     o = _t(spark, sf, "orders")
@@ -952,6 +967,38 @@ SELECT idx.id, ROUND(SUM(idx.weight * q2.boost), 6) AS score
 FROM idx JOIN q2 ON idx.tok = q2.tok
 GROUP BY idx.id ORDER BY score DESC, id LIMIT 10
 """,
+    "q_fulltext_range": r"""
+WITH toks AS (
+  SELECT doc_id AS id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(
+        lower(regexp_replace(text, '[^\w\s]', ' ', 'g')), '\s+')) AS tok
+    FROM documents) WHERE tok <> ''),
+tf AS (SELECT id, tok, COUNT(*) AS tf FROM toks GROUP BY id, tok),
+dfreq AS (SELECT tok, COUNT(DISTINCT id) AS df FROM tf GROUP BY tok),
+n AS (SELECT COUNT(*) AS n FROM documents),
+idx AS (
+  SELECT tf.tok, tf.id,
+         tf.tf * (ln((n.n + 1)::DOUBLE / (dfreq.df + 1)) + 1.0) AS weight
+  FROM tf, dfreq, n WHERE tf.tok = dfreq.tok),
+qterms AS (
+  SELECT tok, 3.0 AS boost
+  FROM (SELECT DISTINCT tok FROM idx)
+  WHERE tok >= 'ba' AND tok <= 'bz'
+  UNION ALL SELECT 'merge', 1.0
+  UNION ALL SELECT 'vector', 1.0
+  UNION ALL SELECT 'stream', 2.0),
+q2 AS (SELECT tok, MAX(boost) AS boost FROM qterms GROUP BY tok),
+hits AS (
+  SELECT idx.id, ROUND(SUM(idx.weight * q2.boost), 6) AS score,
+         MAX(CASE WHEN idx.tok IN ('merge', 'vector') THEN 1 ELSE 0 END)
+             AS grp0
+  FROM idx JOIN q2 ON idx.tok = q2.tok
+  GROUP BY idx.id)
+SELECT id, score FROM hits
+WHERE grp0 = 1
+  AND id NOT IN (SELECT id FROM idx WHERE tok = 'slow')
+ORDER BY score DESC, id LIMIT 10
+""",
     "q_filter_orders": """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE o_orderdate >= TIMESTAMP '1997-06-01' AND o_orderstatus = 'F'
@@ -1293,4 +1340,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_token_stats": q_token_stats,
     "q_fingerprint": q_fingerprint,
     "q_binary_meta": q_binary_meta,
+    "q_fulltext_range": q_fulltext_range,
 }

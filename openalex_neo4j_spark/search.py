@@ -267,21 +267,75 @@ def parse_lucene_lite(query: str) -> dict:
     - ``term~`` / ``term~1`` -> fuzzy: matches every vocabulary token
       within the given Levenshtein distance (default 2, like modern
       Lucene); expanded tokens score with the term's boost
+    - ``[a TO b]`` / ``{a TO b}`` -> term range (inclusive /
+      exclusive): matches every vocabulary token lexicographically
+      inside the bounds (``*`` = unbounded), scored with the range's
+      ``^boost``; an optional field prefix is stripped like elsewhere
+    - ``(a b)`` grouping: ``+(a b)`` requires at least one group
+      member to match (MUST over an OR-group — the precedence case
+      grouping exists for); ``-(a b)`` excludes docs matching any
+      member; ``(a b)^2`` boosts each member; a bare group is plain
+      OR terms
 
     Returns {"should": [t...], "must": [t...], "must_not": [t...],
     "phrases": [[w1, ...], ...], "boosts": {t: float},
-    "fuzzy": [(t, max_edits), ...]}. Remaining Lucene constructs
-    (ranges, grouping) are treated as plain text.
+    "fuzzy": [(t, max_edits), ...],
+    "ranges": [(lo|None, hi|None, incl_lo, incl_hi, boost), ...],
+    "must_any": [[t1, t2, ...], ...]}.
     """
     import re as _re
 
     out = {"should": [], "must": [], "must_not": [], "phrases": [],
-           "boosts": {}, "fuzzy": []}
+           "boosts": {}, "fuzzy": [], "ranges": [], "must_any": []}
     for phrase in _re.findall(r'"([^"]*)"', query):
         words = [w for w in phrase.lower().split() if w]
         if words:
             out["phrases"].append(words)
     rest = _re.sub(r'"[^"]*"', " ", query)
+
+    # term ranges: [a TO b] inclusive, {a TO b} exclusive, * unbounded
+    range_re = _re.compile(
+        r"(?:\w+:)?(?P<open>[\[{])\s*(?P<lo>\S+?)\s+TO\s+(?P<hi>\S+?)\s*"
+        r"(?P<close>[\]}])(?:\^(?P<boost>\d+(?:\.\d+)?))?",
+        _re.IGNORECASE,
+    )
+
+    def _take_range(m):
+        lo = None if m.group("lo") == "*" else m.group("lo").lower()
+        hi = None if m.group("hi") == "*" else m.group("hi").lower()
+        out["ranges"].append((
+            lo, hi, m.group("open") == "[", m.group("close") == "]",
+            float(m.group("boost")) if m.group("boost") else 1.0,
+        ))
+        return " "
+
+    rest = range_re.sub(_take_range, rest)
+
+    # grouping: +(...) = at least one member must match, -(...) =
+    # exclude any member, (...)^b = boost each member
+    group_re = _re.compile(
+        r"(?P<pfx>[+-]?)\((?P<body>[^()]*)\)"
+        r"(?:\^(?P<boost>\d+(?:\.\d+)?))?")
+
+    def _take_group(m):
+        toks = sorted({t for t in m.group("body").lower().split()
+                       if t and t not in ("and", "or", "not")})
+        if not toks:
+            return " "
+        if m.group("boost"):
+            b = float(m.group("boost"))
+            for t in toks:
+                out["boosts"][t] = max(out["boosts"].get(t, 0.0), b)
+        if m.group("pfx") == "-":
+            out["must_not"].extend(toks)
+        elif m.group("pfx") == "+":
+            out["must_any"].append(toks)
+            out["should"].extend(toks)  # members still score
+        else:
+            out["should"].extend(toks)
+        return " "
+
+    rest = group_re.sub(_take_group, rest)
     tok_re = _re.compile(
         r"^(?P<field>\w+:)?(?P<body>[^~^]+)"
         r"(?P<fuzzy>~(?P<edits>\d+)?)?"
@@ -312,6 +366,9 @@ def parse_lucene_lite(query: str) -> dict:
     for k in ("should", "must", "must_not"):
         out[k] = sorted(set(out[k]))
     out["fuzzy"] = sorted(set(out["fuzzy"]))
+    out["ranges"] = sorted(set(out["ranges"]))
+    out["must_any"] = sorted({tuple(g) for g in out["must_any"]})
+    out["must_any"] = [list(g) for g in out["must_any"]]
     return out
 
 
@@ -338,12 +395,19 @@ def fulltext_topk(index: DataFrame, query: str, k: int,
         scored_terms = sorted({t for t in
                                query.lower().replace(",", " ").split() if t})
         q = {"must_not": [], "boosts": {}, "fuzzy": []}
-    if not scored_terms and not q["fuzzy"]:
+    ranges = q.get("ranges", [])
+    must_any = q.get("must_any", [])
+    if not scored_terms and not q["fuzzy"] and not ranges:
         return empty
     boosts = q.get("boosts", {})
+    # grps: indexes of the +(...) OR-groups a term belongs to — the
+    # per-doc aggregation counts DISTINCT matched groups, so a doc
+    # qualifies iff every group contributed at least one matched term
     qdf = spark.createDataFrame(
-        [(t, t in must, float(boosts.get(t, 1.0))) for t in scored_terms],
-        "tok string, required boolean, boost double",
+        [(t, t in must, float(boosts.get(t, 1.0)),
+          [i for i, g in enumerate(must_any) if t in g])
+         for t in scored_terms],
+        "tok string, required boolean, boost double, grps array<int>",
     )
     if q.get("fuzzy"):
         # fuzzy expansion: every vocabulary token within Levenshtein
@@ -368,11 +432,43 @@ def fulltext_topk(index: DataFrame, query: str, k: int,
                      <= F.col("max_edits")))
             .groupBy("tok")
             .agg(F.max("boost").alias("boost"))
-            .select("tok", F.lit(False).alias("required"), "boost")
+            .select("tok", F.lit(False).alias("required"), "boost",
+                    F.array().cast("array<int>").alias("grps"))
         )
-        qdf = qdf.unionByName(expanded).groupBy("tok").agg(
+        qdf = qdf.unionByName(expanded)
+    if ranges:
+        # range expansion: every vocabulary token lexicographically
+        # inside a range's bounds becomes a scored (non-required) term
+        # with the range's boost — same one-pass-over-distinct-vocab
+        # shape as the fuzzy expansion, bounds broadcast
+        rdf = spark.createDataFrame(
+            [(lo, hi, bool(il), bool(ih), float(b))
+             for lo, hi, il, ih, b in ranges],
+            "lo string, hi string, il boolean, ih boolean, boost double",
+        )
+        lo_ok = (
+            F.col("lo").isNull()
+            | F.when(F.col("il"), F.col("tok") >= F.col("lo"))
+            .otherwise(F.col("tok") > F.col("lo")))
+        hi_ok = (
+            F.col("hi").isNull()
+            | F.when(F.col("ih"), F.col("tok") <= F.col("hi"))
+            .otherwise(F.col("tok") < F.col("hi")))
+        in_range = (
+            index.select("tok").distinct()
+            .join(F.broadcast(rdf), lo_ok & hi_ok)
+            .groupBy("tok")
+            .agg(F.max("boost").alias("boost"))
+            .select("tok", F.lit(False).alias("required"), "boost",
+                    F.array().cast("array<int>").alias("grps"))
+        )
+        qdf = qdf.unionByName(in_range)
+    if q.get("fuzzy") or ranges:
+        # a term can arrive from several sources — merge to one row
+        qdf = qdf.groupBy("tok").agg(
             F.max("required").alias("required"),
             F.max("boost").alias("boost"),
+            F.flatten(F.collect_list("grps")).alias("grps"),
         )
     score = F.sum(F.col("weight") * F.col("boost"))
     if round_dp is not None:
@@ -381,13 +477,19 @@ def fulltext_topk(index: DataFrame, query: str, k: int,
         index.join(F.broadcast(qdf), "tok")
         .groupBy("id")
         .agg(score.alias("score"),
-             F.sum(F.col("required").cast("int")).alias("_req_hits"))
+             F.sum(F.col("required").cast("int")).alias("_req_hits"),
+             F.size(F.array_distinct(F.flatten(F.collect_list("grps"))))
+             .alias("_grp_hits"))
     )
     if must:
         # every required term must have matched (term-set semantics;
         # adjacency within phrases is not index-expressible here)
         hits = hits.filter(F.col("_req_hits") >= len(must))
-    hits = hits.drop("_req_hits")
+    if must_any:
+        # every +(...) group must have >= 1 matched member: the agg
+        # counted DISTINCT group indexes across the doc's matched terms
+        hits = hits.filter(F.col("_grp_hits") >= len(must_any))
+    hits = hits.drop("_req_hits", "_grp_hits")
     if q["must_not"]:
         bad = spark.createDataFrame([(t,) for t in q["must_not"]], ["tok"])
         excluded = index.join(F.broadcast(bad), "tok").select("id").distinct()

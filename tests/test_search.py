@@ -302,3 +302,89 @@ class TestLuceneLiteExtended:
         b = {r["id"] for r in
              fulltext_topk(idx, "graph", 10, lucene=True).collect()}
         assert a == b == {"d1", "d3", "d4"}
+
+
+class TestLuceneRangesAndGroups:
+    """Round-4 extensions: term ranges ([a TO b] / {a TO b}, * open)
+    and grouping (+(a b) at-least-one, -(a b) exclude-any, (a b)^n
+    per-member boost) — the last parse_lucene_lite gaps."""
+
+    def test_parse_ranges(self):
+        from openalex_neo4j_spark.search import parse_lucene_lite
+        q = parse_lucene_lite('[aa TO bb]^2 title:{c TO d} [e TO *]')
+        assert q["ranges"] == [("aa", "bb", True, True, 2.0),
+                               ("c", "d", False, False, 1.0),
+                               ("e", None, True, True, 1.0)]
+        assert q["should"] == []
+
+    def test_parse_groups(self):
+        from openalex_neo4j_spark.search import parse_lucene_lite
+        q = parse_lucene_lite('+(alpha beta) -(gamma delta) (eps zeta)^4')
+        assert q["must_any"] == [["alpha", "beta"]]
+        assert sorted(q["must_not"]) == ["delta", "gamma"]
+        assert set(q["should"]) >= {"alpha", "beta", "eps", "zeta"}
+        assert q["boosts"] == {"eps": 4.0, "zeta": 4.0}
+
+    def _index(self, spark):
+        from openalex_neo4j_spark.search import build_fulltext_index
+        docs = spark.createDataFrame(
+            [("d1", "graph neural citation analysis"),
+             ("d2", "neural machine translation"),
+             ("d3", "graph databases and query planning"),
+             ("d4", "citation graph mining with neural models")],
+            ["id", "text"])
+        return build_fulltext_index(docs)
+
+    def test_range_matches_vocab_between_bounds(self, spark):
+        from openalex_neo4j_spark.search import fulltext_topk
+        idx = self._index(spark)
+        # [ci TO da] covers 'citation' but not 'databases' ('da' < it)
+        ids = {r["id"] for r in
+               fulltext_topk(idx, "[ci TO da]", 10, lucene=True).collect()}
+        assert ids == {"d1", "d4"}
+        # exclusive upper bound drops the boundary token itself
+        ids = {r["id"] for r in
+               fulltext_topk(idx, "[citation TO graph}", 10,
+                             lucene=True).collect()}
+        assert "citation" and ids == {"d1", "d3", "d4"}
+        # open upper bound reaches the end of the vocabulary
+        # ('translation' in d2, 'with' in d4)
+        ids = {r["id"] for r in
+               fulltext_topk(idx, "[translation TO *]", 10,
+                             lucene=True).collect()}
+        assert ids == {"d2", "d4"}
+
+    def test_group_requires_one_member(self, spark):
+        from openalex_neo4j_spark.search import fulltext_topk
+        idx = self._index(spark)
+        # +(translation mining): d2 (translation), d4 (mining) only —
+        # graph alone (d1, d3) scores but fails the group predicate
+        ids = {r["id"] for r in
+               fulltext_topk(idx, "+(translation mining) graph", 10,
+                             lucene=True).collect()}
+        assert ids == {"d2", "d4"}
+        # two groups: both must hit
+        ids = {r["id"] for r in
+               fulltext_topk(idx, "+(graph neural) +(mining planning)", 10,
+                             lucene=True).collect()}
+        assert ids == {"d3", "d4"}
+
+    def test_excluded_group(self, spark):
+        from openalex_neo4j_spark.search import fulltext_topk
+        idx = self._index(spark)
+        ids = {r["id"] for r in
+               fulltext_topk(idx, "neural -(translation mining)", 10,
+                             lucene=True).collect()}
+        assert ids == {"d1"}
+
+    def test_range_boost_applies(self, spark):
+        from openalex_neo4j_spark.search import fulltext_topk
+        idx = self._index(spark)
+        plain = {r["id"]: r["score"] for r in
+                 fulltext_topk(idx, "[translation TO translation]", 10,
+                               lucene=True).collect()}
+        boosted = {r["id"]: r["score"] for r in
+                   fulltext_topk(idx, "[translation TO translation]^5", 10,
+                                 lucene=True).collect()}
+        assert set(plain) == set(boosted) == {"d2"}
+        assert abs(boosted["d2"] - 5 * plain["d2"]) < 1e-9
