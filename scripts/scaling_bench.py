@@ -123,20 +123,26 @@ def main() -> int:
     cores_a = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     cores_b = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 
-    # build (or locate) the shared input once (untimed)
-    from openalex_neo4j_spark.session import get_spark
-
-    spark = get_spark(master="local[8]")
-    spark.sparkContext.setLogLevel("ERROR")
+    # build (or locate) the shared input once (untimed). No Spark
+    # session here: corpus generation and the page count are pure
+    # pyarrow — a session's py4j gateway JVM survives spark.stop()
+    # until this python process exits, and an unpinned idle JVM
+    # humming along during the pinned legs is exactly the kind of
+    # background noise the protocol forbids.
     if os.path.isdir(arg1):
         pages_path, n_works = arg1, arg1
     else:
         from bench import ensure_pages_parquet
 
         n_works = int(arg1)
-        pages_path = ensure_pages_parquet(spark, n_works, filler)
-    n_pages = spark.read.parquet(pages_path).count()
-    spark.stop()
+        pages_path = ensure_pages_parquet(None, n_works, filler)
+
+    import pyarrow.parquet as pq
+
+    n_pages = sum(
+        pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        for root, _, files in os.walk(pages_path)
+        for f in files if f.endswith(".parquet"))
 
     zpath = make_zip()
     factor = cores_b // cores_a
