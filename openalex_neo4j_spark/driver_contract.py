@@ -717,10 +717,20 @@ def _kg_graph_root(spark, n_works: int = 150) -> str:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
                 # another process is building; steal only a stale lock
-                # (dead holder) — builds finish in well under 10 min
+                # (dead holder) — builds finish in well under 10 min.
+                # The steal is an atomic RENAME to a unique name, not
+                # an unlink: with unlink, two waiters can both judge
+                # the lock stale, the slower unlink then removes the
+                # faster stealer's FRESH lock, and two builders race
+                # rmtree against rename on the same root. Only the
+                # process whose rename succeeded retries the O_EXCL
+                # create; the loser's rename raises and it keeps
+                # waiting.
                 try:
                     if _time.time() - os.path.getmtime(lock) > 600:
-                        os.unlink(lock)
+                        stolen = f"{lock}.stale_{_uuid.uuid4().hex[:8]}"
+                        os.rename(lock, stolen)
+                        os.unlink(stolen)
                         continue
                 except OSError:
                     continue

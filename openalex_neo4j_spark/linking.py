@@ -47,6 +47,14 @@ COSINE_THRESHOLD = 0.60
 #: the title-group count fits (8M rows ~ a few hundred MB on a 16g
 #: driver); larger corpora take the shuffle-join path
 BROADCAST_CLUSTER_MAP_MAX_GROUPS = 8_000_000
+#: ...and only when the ESTIMATED map payload also fits: the row cap
+#: alone is byte-blind — cluster ids are strings (min canon_key or
+#: 'title:<norm title>', potentially hundreds of bytes), so 8M rows
+#: can be multiple GB and OOM a library caller's default-sized driver.
+#: Estimated as rows * (avg id length + key/row overhead) from the
+#: same single driver round-trip that counts groups.
+BROADCAST_CLUSTER_MAP_MAX_BYTES = 256 << 20
+_BROADCAST_ROW_OVERHEAD = 56  # tid long + UTF8String + hash-relation entry
 
 
 def _with_work_key(mentions: DataFrame) -> DataFrame:
@@ -214,8 +222,15 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
     _counts = grp.agg(
         F.count("*").alias("n"),
         F.count(F.when(F.col("canon_key").isNull(), 1)).alias("n_orph"),
+        # avg cluster-id length for the broadcast byte estimate below
+        # (cluster_id = canon_key, else 'title:' + norm_title)
+        F.avg(F.length(F.coalesce(
+            F.col("canon_key"),
+            F.concat(F.lit("title:"), F.col("norm_title"))))).alias("idlen"),
     ).collect()[0]
     n_groups, n_orphans = _counts["n"], _counts["n_orph"]
+    est_map_bytes = int(
+        n_groups * (float(_counts["idlen"] or 0) + _BROADCAST_ROW_OVERHEAD))
 
     comp_map = None
     if n_orphans > 0:
@@ -366,7 +381,8 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
     # string) row per title group), eliminating the mention-table
     # exchange entirely; beyond the cap (cluster-scale corpora where
     # the map itself is GBs) fall back to the shuffle join.
-    if n_groups <= BROADCAST_CLUSTER_MAP_MAX_GROUPS:
+    if (n_groups <= BROADCAST_CLUSTER_MAP_MAX_GROUPS
+            and est_map_bytes <= BROADCAST_CLUSTER_MAP_MAX_BYTES):
         tid_to_cluster = F.broadcast(tid_to_cluster)
 
     out = (

@@ -76,6 +76,19 @@ def upsert_nodes(spark: SparkSession, path: str, new_df: DataFrame,
     if backend == "snapshot":
         from openalex_neo4j_spark.table_format import SnapshotTable
         t = SnapshotTable(spark, path, key=key)
+        # Migration guard: a path previously written by the PLAIN
+        # backend holds bare parquet files and no _snapshots/ dir.
+        # SnapshotTable would see version 0, commit only new_df, and
+        # every read would silently drop the previously merged rows
+        # (the old part files just sit unreferenced in the same
+        # directory). Fold the existing plain table in as the initial
+        # snapshot instead, so switching backends preserves state the
+        # same way staying on plain would.
+        if t.current_version() == 0:
+            _recover_table(path)  # a crashed plain commit counts too
+            if os.path.isdir(path) and any(
+                    f.endswith(".parquet") for f in os.listdir(path)):
+                t.merge(spark.read.parquet(path))
         t.merge(new_df)
         return t.read()
     _recover_table(path)

@@ -366,7 +366,13 @@ def parse_lucene_lite(query: str) -> dict:
     for k in ("should", "must", "must_not"):
         out[k] = sorted(set(out[k]))
     out["fuzzy"] = sorted(set(out["fuzzy"]))
-    out["ranges"] = sorted(set(out["ranges"]))
+    # open bounds are None — a plain tuple sort raises TypeError the
+    # moment a None lo/hi is compared against a string (e.g.
+    # '[* TO m] [n TO z]'); key None below/above every string instead
+    out["ranges"] = sorted(
+        set(out["ranges"]),
+        key=lambda r: ((r[0] is not None, r[0] or ""),
+                       (r[1] is not None, r[1] or ""), r[2], r[3], r[4]))
     out["must_any"] = sorted({tuple(g) for g in out["must_any"]})
     out["must_any"] = [list(g) for g in out["must_any"]]
     return out

@@ -192,7 +192,14 @@ def stage_parquet(df, name: str = "stage", partition_by: list[str] | None = None
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
-    return spark.read.parquet(path)
+    # read back with the KNOWN schema: an empty input writes no part
+    # files (and, when partitioned, no partition dirs), so schema
+    # inference on the read would raise 'Unable to infer schema' — the
+    # empty-edge-table graph is a legal input and must stage to an
+    # empty scan, same as the row-block ckpt path it replaced. For a
+    # partitioned write the partition columns live in dir names; the
+    # user-supplied schema still resolves them by name.
+    return spark.read.schema(df.schema).parquet(path)
 
 
 def iter_ckpt(df, eager: bool = True):

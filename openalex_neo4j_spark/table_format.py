@@ -121,6 +121,25 @@ class SnapshotTable:
             })
         return out
 
+    @staticmethod
+    def _stat(v):
+        """Canonical manifest form of a min/max key stat. The manifest
+        is JSON and the stats are compared across processes, so only
+        order-preserving JSON-safe forms are kept: str/int/float/bool
+        as-is, datetime/date as isoformat strings (isoformat order ==
+        chronological order). Anything else (Decimal, bytes, ...)
+        degrades to None — pruning is disabled for that group (every
+        merge rewrites it), correctness is unaffected. Both the write
+        path and the merge's fresh-updates agg go through this, so the
+        two sides always compare like with like."""
+        import datetime
+
+        if isinstance(v, (str, int, float, bool)) or v is None:
+            return v
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        return None
+
     def _write_group(self, df: DataFrame) -> dict:
         """Write one immutable data group; return its manifest entry
         with row count and min/max key stats (computed from the
@@ -136,7 +155,8 @@ class SnapshotTable:
                 F.max(self.key).alias("hi"),
             ).collect()[0]
             return {"path": rel, "rows": stats["n"],
-                    "min_key": stats["lo"], "max_key": stats["hi"]}
+                    "min_key": self._stat(stats["lo"]),
+                    "max_key": self._stat(stats["hi"])}
         n = written.count()
         return {"path": rel, "rows": n, "min_key": None, "max_key": None}
 
@@ -257,6 +277,10 @@ class SnapshotTable:
             raise ValueError(
                 f"updates not unique on {self.key!r}: {s['n']} rows, "
                 f"{s['nk']} distinct keys")
+        # canonicalize the fresh stats the same way the manifest does
+        # (datetime keys -> isoformat strings; non-JSON-safe -> None,
+        # which disables pruning but never the comparison's types)
+        u_lo, u_hi = self._stat(s["lo"]), self._stat(s["hi"])
 
         def commit():
             base = self.current_version()
@@ -268,8 +292,8 @@ class SnapshotTable:
             for g in prior:
                 lo, hi = g["min_key"], g["max_key"]
                 disjoint = (lo is not None and hi is not None
-                            and s["lo"] is not None
-                            and (hi < s["lo"] or lo > s["hi"]))
+                            and u_lo is not None and u_hi is not None
+                            and (hi < u_lo or lo > u_hi))
                 (kept if disjoint else touched).append(g)
             new_groups = list(kept)
             if touched:
@@ -297,8 +321,13 @@ class SnapshotTable:
             base = self.current_version()
             if base == 0:
                 raise ValueError("delete from empty table")
+            # SQL DELETE semantics: remove rows where the predicate is
+            # TRUE — rows where it evaluates to NULL (e.g. "doi = 'x'"
+            # on a NULL doi) must be KEPT. A bare ~expr(condition) is
+            # NULL for those rows and the filter would silently drop
+            # them from the new snapshot.
             remaining = self.read(version=base).filter(
-                ~F.expr(condition))
+                ~F.coalesce(F.expr(condition), F.lit(False)))
             groups = ([self._write_group(remaining)]
                       if remaining.limit(1).count() else [])
             return self._commit(base, "delete", groups)
@@ -317,22 +346,38 @@ class SnapshotTable:
             os.remove(_manifest_path(self.root, v))
         return expired
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, older_than_s: float = 3600.0) -> list[str]:
         """Delete data groups referenced by NO live manifest — merge
         leftovers after expire_snapshots, and orphans from writes that
-        crashed before their manifest commit. Returns removed paths."""
+        crashed before their manifest commit. Returns removed paths.
+
+        ``older_than_s`` is the retention grace period (Delta/Iceberg
+        analog): a concurrent writer mid-``merge`` has written its data
+        group but not yet committed the manifest, so its group is
+        momentarily unreferenced — deleting it would let the writer
+        commit a manifest pointing at a removed directory, wedging the
+        table at a corrupt HEAD. Only groups whose directory mtime is
+        older than the grace period are reclaimed; pass 0 only when no
+        other writer can be in flight."""
+        import time as _time
+
         live: set[str] = set()
         for v in _list_versions(self.root):
             for g in self._load_manifest(v)["groups"]:
                 live.add(g["path"])
         data_dir = os.path.join(self.root, "data")
         removed = []
+        cutoff = _time.time() - older_than_s
         if os.path.isdir(data_dir):
             import shutil
             for d in os.listdir(data_dir):
                 rel = os.path.join("data", d)
-                if rel not in live:
-                    shutil.rmtree(os.path.join(self.root, rel),
-                                  ignore_errors=True)
+                full = os.path.join(self.root, rel)
+                try:
+                    young = os.path.getmtime(full) > cutoff
+                except OSError:
+                    young = True  # vanished/being written — leave it
+                if rel not in live and not young:
+                    shutil.rmtree(full, ignore_errors=True)
                     removed.append(rel)
         return removed

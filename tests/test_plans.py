@@ -183,3 +183,17 @@ def test_minhash_banding_has_no_window_and_one_exchange(spark):
     assert n_exch == 1, (
         "banding must shuffle exactly once (the signature aggregation); "
         f"got {n_exch} exchanges:\n{plan}")
+
+
+def test_stage_parquet_empty_partitioned_roundtrip(spark):
+    """An empty input staged with partition_by must come back as an
+    empty scan with the declared schema — an empty partitioned write
+    emits no part files, so schema INFERENCE on the read would raise
+    'Unable to infer schema' (the empty-edge-table graph is legal)."""
+    from openalex_neo4j_spark.session import stage_parquet
+
+    empty = spark.createDataFrame(
+        [], "subj string, pred string, obj string")
+    out = stage_parquet(empty, "empty_edges", partition_by=["pred"])
+    assert out.count() == 0
+    assert set(out.columns) == {"subj", "pred", "obj"}

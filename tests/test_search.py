@@ -388,3 +388,13 @@ class TestLuceneRangesAndGroups:
                                  lucene=True).collect()}
         assert set(plain) == set(boosted) == {"d2"}
         assert abs(boosted["d2"] - 5 * plain["d2"]) < 1e-9
+
+    def test_parse_multiple_ranges_with_open_bounds(self):
+        """Two ranges where one has an open (None) bound must not
+        crash the deterministic sort of the parse output (a plain
+        tuple sort compares None against str and raises TypeError)."""
+        from openalex_neo4j_spark.search import parse_lucene_lite
+        q = parse_lucene_lite('[* TO m] [n TO z] [a TO *]')
+        assert (None, "m", True, True, 1.0) in q["ranges"]
+        assert ("a", None, True, True, 1.0) in q["ranges"]
+        assert len(q["ranges"]) == 3

@@ -156,14 +156,19 @@ def test_vacuum_reclaims_orphans_and_expired(spark, root):
     os.makedirs(orphan)
     open(os.path.join(orphan, "part-0.parquet"), "wb").close()
 
+    # default grace period: everything here is younger than an hour,
+    # so nothing is reclaimed — a concurrent writer's not-yet-committed
+    # group must never be deleted out from under it
+    assert t.vacuum() == []
+
     # both snapshots live -> only the orphan goes
-    removed = t.vacuum()
+    removed = t.vacuum(older_than_s=0)
     assert removed == [os.path.join("data", "deadbeef")]
     assert t.read(version=1).collect()[0]["val"] == 1
 
     expired = t.expire_snapshots(keep_last=1)
     assert expired == [1]
-    removed = t.vacuum()
+    removed = t.vacuum(older_than_s=0)
     assert len(removed) == 1                  # v1's group reclaimed
     assert t.read().collect()[0]["val"] == 2  # current state intact
     with pytest.raises(FileNotFoundError):
@@ -216,3 +221,50 @@ def test_upsert_nodes_snapshot_backend(spark, tmp_path):
     # time travel still sees the pre-merge state
     assert {(r["id"], r["val"]) for r in t.read(version=1).collect()} == {
         ("a", 1), ("b", 2)}
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, root):
+    """SQL DELETE semantics: rows where the predicate is NULL (not
+    TRUE) must survive — ~NULL is NULL and a bare negated filter would
+    silently drop them from the new snapshot."""
+    t = SnapshotTable(spark, root, key="id")
+    t.overwrite(spark.createDataFrame(
+        [("a", "x"), ("b", None), ("c", "y")], "id string, tag string"))
+    t.delete_where("tag = 'x'")
+    got = {r["id"] for r in t.read().collect()}
+    assert got == {"b", "c"}  # the NULL-tag row stays
+
+
+def test_timestamp_key_stats_json_safe(spark, root):
+    """Manifest stats for non-JSON-native key types (timestamps) must
+    serialize (isoformat) and keep pruning comparisons type-consistent
+    across the write and merge sides."""
+    import datetime
+
+    rows = [(datetime.datetime(2024, 1, i + 1), i) for i in range(3)]
+    t = SnapshotTable(spark, root, key="ts")
+    t.overwrite(spark.createDataFrame(rows, "ts timestamp, val int"))
+    t.merge(spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 2), 99)], "ts timestamp, val int"))
+    got = {r["ts"]: r["val"] for r in t.read().collect()}
+    assert got[datetime.datetime(2024, 1, 2)] == 99 and len(got) == 3
+    # stats in the manifest are strings (isoformat), not raw datetimes
+    m = t._load_manifest(t.current_version())
+    assert all(isinstance(g["min_key"], (str, type(None)))
+               for g in m["groups"])
+
+
+def test_upsert_nodes_snapshot_migrates_plain_table(spark, tmp_path):
+    """Switching backend='plain' -> 'snapshot' on the same path must
+    fold the existing plain table into the initial snapshot instead of
+    silently serving only the new rows."""
+    from openalex_neo4j_spark.materialize import upsert_nodes
+
+    path = str(tmp_path / "nodes")
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)], "id string, val int")
+    upsert_nodes(spark, path, df1)  # plain backend
+    df2 = spark.createDataFrame([("b", 20), ("c", 3)], "id string, val int")
+    got = {r["id"]: r["val"]
+           for r in upsert_nodes(spark, path, df2,
+                                 backend="snapshot").collect()}
+    assert got == {"a": 1, "b": 20, "c": 3}
