@@ -728,10 +728,25 @@ def _kg_graph_root(spark, n_works: int = 150) -> str:
                 # waiting.
                 try:
                     if _time.time() - os.path.getmtime(lock) > 600:
+                        # steal-then-verify: rename FIRST, check the
+                        # mtime of what we actually captured. Checking
+                        # before renaming leaves a window where another
+                        # waiter steals+unlinks and the holder's FRESH
+                        # replacement lock appears at the same path —
+                        # a blind rename would then remove a live lock
+                        # and two builders race on the same root.
                         stolen = f"{lock}.stale_{_uuid.uuid4().hex[:8]}"
                         os.rename(lock, stolen)
-                        os.unlink(stolen)
-                        continue
+                        if _time.time() - os.path.getmtime(stolen) > 600:
+                            os.unlink(stolen)
+                            continue
+                        # captured a fresh lock by mistake — restore it
+                        # and keep waiting (if the holder already
+                        # re-created the path, just drop our copy)
+                        try:
+                            os.rename(stolen, lock)
+                        except OSError:
+                            os.unlink(stolen)
                 except OSError:
                     continue
                 _time.sleep(0.5)

@@ -86,9 +86,19 @@ def upsert_nodes(spark: SparkSession, path: str, new_df: DataFrame,
         # same way staying on plain would.
         if t.current_version() == 0:
             _recover_table(path)  # a crashed plain commit counts too
-            if os.path.isdir(path) and any(
-                    f.endswith(".parquet") for f in os.listdir(path)):
-                t.merge(spark.read.parquet(path))
+            # read only the TOP-LEVEL part files explicitly: the path
+            # can also hold orphan data/<uuid>/ group dirs from a
+            # snapshot first-merge that crashed before its manifest
+            # commit (current_version() still 0) — a bare
+            # read.parquet(path) would then see parquet leaves at
+            # mixed directory depths and raise "Conflicting directory
+            # structures", wedging the migration until manual cleanup
+            plain_parts = sorted(
+                os.path.join(path, f) for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ) if os.path.isdir(path) else []
+            if plain_parts:
+                t.merge(spark.read.parquet(*plain_parts))
         t.merge(new_df)
         return t.read()
     _recover_table(path)

@@ -318,8 +318,18 @@ def parse_lucene_lite(query: str) -> dict:
         r"(?:\^(?P<boost>\d+(?:\.\d+)?))?")
 
     def _take_group(m):
-        toks = sorted({t for t in m.group("body").lower().split()
-                       if t and t not in ("and", "or", "not")})
+        # strip an optional +/- prefix and a field: prefix from each
+        # member, mirroring tok_re's handling of bare terms — without
+        # this, '+(title:graph)' would bucket the literal token
+        # 'title:graph', which can never exist in the vocabulary, and
+        # the group filter would silently reject every document
+        toks = set()
+        for t in m.group("body").lower().split():
+            t = t.lstrip("+-")
+            t = _re.sub(r"^\w+:", "", t)
+            if t and t not in ("and", "or", "not"):
+                toks.add(t)
+        toks = sorted(toks)
         if not toks:
             return " "
         if m.group("boost"):
@@ -355,7 +365,10 @@ def parse_lucene_lite(query: str) -> dict:
             continue
         body = m.group("body")
         if m.group("boost"):
-            out["boosts"][body] = float(m.group("boost"))
+            # max-merge, same as the group path — otherwise the result
+            # of '(a)^5 a^2' vs 'a^2 (a)^5' would depend on token order
+            out["boosts"][body] = max(
+                out["boosts"].get(body, 0.0), float(m.group("boost")))
         if m.group("fuzzy") and bucket == "should":
             # fuzzy applies to scored terms only; +term~/-term~ keep
             # their exact MUST/MUST_NOT semantics (lite scope)

@@ -325,6 +325,23 @@ class TestLuceneRangesAndGroups:
         assert set(q["should"]) >= {"alpha", "beta", "eps", "zeta"}
         assert q["boosts"] == {"eps": 4.0, "zeta": 4.0}
 
+    def test_group_members_strip_field_and_sign_prefixes(self):
+        # '+(title:graph)' must bucket the vocabulary token 'graph',
+        # not the literal 'title:graph' (which can never match and
+        # would silently zero out the whole query); same for a +/-
+        # prefix inside the group body
+        from openalex_neo4j_spark.search import parse_lucene_lite
+        q = parse_lucene_lite("+(title:graph +neural)")
+        assert q["must_any"] == [["graph", "neural"]]
+        q = parse_lucene_lite("-(title:x abstract:y)")
+        assert sorted(q["must_not"]) == ["x", "y"]
+
+    def test_boost_merge_is_order_independent(self):
+        from openalex_neo4j_spark.search import parse_lucene_lite
+        a = parse_lucene_lite("(a)^5 a^2")
+        b = parse_lucene_lite("a^2 (a)^5")
+        assert a["boosts"] == b["boosts"] == {"a": 5.0}
+
     def _index(self, spark):
         from openalex_neo4j_spark.search import build_fulltext_index
         docs = spark.createDataFrame(
@@ -346,7 +363,7 @@ class TestLuceneRangesAndGroups:
         ids = {r["id"] for r in
                fulltext_topk(idx, "[citation TO graph}", 10,
                              lucene=True).collect()}
-        assert "citation" and ids == {"d1", "d3", "d4"}
+        assert ids == {"d1", "d3", "d4"}
         # open upper bound reaches the end of the vocabulary
         # ('translation' in d2, 'with' in d4)
         ids = {r["id"] for r in
@@ -368,6 +385,20 @@ class TestLuceneRangesAndGroups:
                fulltext_topk(idx, "+(graph neural) +(mining planning)", 10,
                              lucene=True).collect()}
         assert ids == {"d3", "d4"}
+
+    def test_group_with_field_prefix_still_matches(self, spark):
+        # regression: '+(title:graph)' used to keep the field prefix
+        # on the member token and silently return zero hits
+        from openalex_neo4j_spark.search import fulltext_topk
+        idx = self._index(spark)
+        ids = {r["id"] for r in
+               fulltext_topk(idx, "+(title:graph) neural", 10,
+                             lucene=True).collect()}
+        assert ids == {"d1", "d3", "d4"}
+        ids = {r["id"] for r in
+               fulltext_topk(idx, "neural -(title:translation)", 10,
+                             lucene=True).collect()}
+        assert ids == {"d1", "d4"}
 
     def test_excluded_group(self, spark):
         from openalex_neo4j_spark.search import fulltext_topk

@@ -268,3 +268,30 @@ def test_upsert_nodes_snapshot_migrates_plain_table(spark, tmp_path):
            for r in upsert_nodes(spark, path, df2,
                                  backend="snapshot").collect()}
     assert got == {"a": 1, "b": 20, "c": 3}
+
+
+def test_migration_ignores_orphan_snapshot_group_dirs(spark, tmp_path):
+    """A snapshot first-merge that crashed AFTER writing data/<uuid>/
+    group dirs but BEFORE its manifest commit leaves parquet leaves at
+    mixed directory depths under the plain table path. The migration
+    guard must read only the top-level part files — a bare
+    read.parquet(path) raises 'Conflicting directory structures' and
+    wedges the migration until manual cleanup."""
+    import os
+
+    from openalex_neo4j_spark.materialize import upsert_nodes
+
+    path = str(tmp_path / "nodes")
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)], "id string, val int")
+    upsert_nodes(spark, path, df1)  # plain backend
+    # simulate the crashed first-merge: an orphan group dir with a
+    # parquet leaf one level deeper, and no _snapshots manifest
+    orphan = os.path.join(path, "data", "deadbeef")
+    spark.createDataFrame([("zzz", 99)], "id string, val int") \
+        .coalesce(1).write.parquet(orphan)
+    df2 = spark.createDataFrame([("b", 20), ("c", 3)], "id string, val int")
+    got = {r["id"]: r["val"]
+           for r in upsert_nodes(spark, path, df2,
+                                 backend="snapshot").collect()}
+    # orphan rows are unreferenced garbage, NOT part of the table
+    assert got == {"a": 1, "b": 20, "c": 3}
