@@ -109,8 +109,11 @@ def _check_extract_scheme(root: str, scheme: dict,
             raise ValueError(
                 "resumable_extract: recorded bucketing scheme "
                 f"{prev} does not match current {scheme}; resuming "
-                "would misassign pages to completed buckets. Use a "
-                f"fresh root or clear {root} to restart."
+                "would misassign pages to completed buckets. Remedy: "
+                "restart from scratch by pointing at a fresh root, or "
+                f"delete the lineage root (`rm -rf {root}`) to discard "
+                "the partial run, or re-run with the original input "
+                "frame/bucket count to resume it."
             )
     else:
         with open(meta_path, "w") as f:

@@ -40,6 +40,35 @@ def pages_stream(spark: SparkSession, pages_dir: str,
     return reader.parquet(pages_dir)
 
 
+def migrate_flat_layout(out_root: str) -> int:
+    """Migrate a pre-epoch-layout output directory IN PLACE: move the
+    flat top-level part files of ``<out_root>/mentions_stream`` into an
+    ``epoch=-1/`` partition dir, so a resumed stream's partitioned
+    layout is consistent (:func:`stream_ingest_mentions` rejects mixed
+    layouts at start — flat files next to partition dirs break
+    partition discovery and can double-count rows).
+
+    Returns the number of files moved; idempotent (a second call moves
+    nothing). Real epoch ids are >= 0, so ``epoch=-1`` can never
+    collide with a replayed epoch's dynamic-partition overwrite. The
+    flat files carry no ``epoch`` data column — the partition dir name
+    supplies it on read, matching the streamed epochs' schema."""
+    import os
+
+    ms_dir = os.path.join(out_root, "mentions_stream")
+    if not os.path.isdir(ms_dir):
+        return 0
+    dest = os.path.join(ms_dir, "epoch=-1")
+    moved = 0
+    for f in os.listdir(ms_dir):
+        if f.startswith(("epoch=", "_", ".")):
+            continue
+        os.makedirs(dest, exist_ok=True)
+        os.replace(os.path.join(ms_dir, f), os.path.join(dest, f))
+        moved += 1
+    return moved
+
+
 def stream_ingest_mentions(
     spark: SparkSession,
     pages_dir: str,
@@ -73,8 +102,9 @@ def stream_ingest_mentions(
         if flat:
             raise ValueError(
                 f"{ms_dir} holds non-partitioned files {flat[:3]} from a "
-                "pre-epoch-layout run; move them into an epoch=-1/ "
-                "subdirectory or use a fresh out_root."
+                "pre-epoch-layout run; run "
+                f"migrate_flat_layout({out_root!r}) to move them into an "
+                "epoch=-1/ partition dir, or use a fresh out_root."
             )
 
     def ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:

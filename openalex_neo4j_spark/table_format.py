@@ -250,6 +250,46 @@ class SnapshotTable:
             lambda: self._commit(self.current_version(), "overwrite",
                                  [group]))
 
+    def overwrite_clustered(self, df: DataFrame, num_groups: int) -> int:
+        """Bulk load: replace the table with ``num_groups``
+        key-range-clustered data groups in ONE commit.
+
+        ``repartitionByRange`` on the merge key gives each group a
+        tight, near-disjoint [min_key, max_key] span, so later merges
+        prune to the few overlapping groups — the Iceberg
+        write-ordered/clustered analog. Scale shape: one distributed
+        write + one stats aggregation regardless of ``num_groups``
+        (per-group ``append`` would be ``num_groups`` driver-blocking
+        jobs); the driver-side cost is one manifest JSON entry per
+        group. Initial loads should come through here — a single
+        ``overwrite`` group spans the whole key range and every merge
+        rewrites it."""
+        if self.key not in df.columns:
+            raise ValueError(f"df must carry key column {self.key!r}")
+        gcol = "_snap_group"
+        rel = os.path.join("data", uuid.uuid4().hex)
+        path = os.path.join(self.root, rel)
+        (df.repartitionByRange(num_groups, F.col(self.key))
+           .withColumn(gcol, F.spark_partition_id())
+           .write.mode("errorifexists").partitionBy(gcol).parquet(path))
+        # stats from the written files (never drift from the data);
+        # one job over all groups instead of one per group
+        written = self.spark.read.parquet(path)
+        stats = (written.groupBy(gcol).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(self.key).alias("lo"),
+            F.max(self.key).alias("hi")).collect())
+        groups = [
+            {"path": os.path.join(rel, f"{gcol}={r[gcol]}"),
+             "rows": r["n"],
+             "min_key": self._stat(r["lo"]),
+             "max_key": self._stat(r["hi"])}
+            for r in sorted(stats, key=lambda r: r[gcol])
+        ]
+        return self._retry(
+            lambda: self._commit(self.current_version(), "overwrite",
+                                 groups))
+
     def merge(self, updates: DataFrame) -> int:
         """Last-wins MERGE INTO on ``key``: matched rows are replaced
         by their update row, unmatched update rows are inserted —
@@ -377,7 +417,12 @@ class SnapshotTable:
                     young = os.path.getmtime(full) > cutoff
                 except OSError:
                     young = True  # vanished/being written — leave it
-                if rel not in live and not young:
+                # a clustered bulk load nests its group dirs one level
+                # down (data/<uuid>/_snap_group=N) — the top-level dir
+                # is live if ANY manifest references it or a child
+                referenced = any(
+                    p == rel or p.startswith(rel + os.sep) for p in live)
+                if not referenced and not young:
                     shutil.rmtree(full, ignore_errors=True)
                     removed.append(rel)
         return removed

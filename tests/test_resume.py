@@ -206,7 +206,9 @@ def test_resume_refuses_scheme_mismatch(spark, pages, tmp_path_factory):
     src = str(tmp_path_factory.mktemp("pages_src_scheme"))
     pages_df.repartition(4).write.mode("overwrite").parquet(src)
     stored = spark.read.parquet(src)
-    with pytest.raises(ValueError, match="scheme"):
+    # the refusal must carry the one-line remedy (delete lineage root
+    # or use a fresh one), not just the diagnosis
+    with pytest.raises(ValueError, match=r"Remedy: .*rm -rf"):
         resumable_extract(spark, stored, root, run_id="s3",
                           num_buckets=8, chunk_size=2)
 

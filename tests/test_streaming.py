@@ -53,8 +53,50 @@ def test_rejects_pre_epoch_flat_layout(spark, pages_dir,
     ckpt = str(tmp_path_factory.mktemp("ckpt_flat"))
     os.makedirs(f"{out}/mentions_stream")
     open(f"{out}/mentions_stream/part-00000.parquet", "w").close()
-    with pytest.raises(ValueError, match="epoch"):
+    with pytest.raises(ValueError, match="migrate_flat_layout"):
         stream_ingest_mentions(spark, d, out, ckpt, available_now=True)
+
+
+def test_migrate_flat_layout_then_resume(spark, pages_dir,
+                                         tmp_path_factory):
+    """The documented escape hatch for a pre-epoch-layout output dir:
+    migrate_flat_layout moves the flat part files into epoch=-1/, after
+    which the stream starts and the old rows stay readable alongside
+    the newly streamed epochs."""
+    import os
+
+    from openalex_neo4j_spark.extract import mentions_from_pages
+    from openalex_neo4j_spark.streaming import migrate_flat_layout
+
+    d, world = pages_dir
+    out = str(tmp_path_factory.mktemp("stream_migrate"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_migrate"))
+
+    # simulate the pre-epoch run: flat mention part files (no epoch
+    # data column) at the top of mentions_stream
+    legacy_world = build_world(10, seed=99)
+    legacy_dir = str(tmp_path_factory.mktemp("legacy_pages"))
+    write_pages_parquet(legacy_world, legacy_dir, num_files=1)
+    legacy = mentions_from_pages(spark.read.parquet(legacy_dir))
+    n_legacy = legacy.count()
+    legacy.coalesce(1).write.parquet(f"{out}/mentions_stream")
+
+    with pytest.raises(ValueError, match="migrate_flat_layout"):
+        stream_ingest_mentions(spark, d, out, ckpt, available_now=True)
+    moved = migrate_flat_layout(out)
+    assert moved >= 1
+    assert migrate_flat_layout(out) == 0  # idempotent
+
+    q = stream_ingest_mentions(spark, d, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    all_rows = spark.read.parquet(f"{out}/mentions_stream")
+    scholarly = sum(1 for p in world.pages if p.work_id is not None)
+    assert all_rows.count() == n_legacy + scholarly
+    epochs = {r["epoch"] for r in all_rows.select("epoch").distinct().collect()}
+    assert -1 in epochs and any(e >= 0 for e in epochs)
+    # migrated rows sit under epoch=-1 on disk
+    assert os.path.isdir(f"{out}/mentions_stream/epoch=-1")
 
 
 def test_lineage_counts_per_epoch_not_cumulative(spark, pages_dir,
