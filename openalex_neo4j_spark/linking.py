@@ -280,10 +280,17 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
         cand = ckpt(cand, eager=False)
 
         # (4) TF-IDF cosine over candidate title pairs (only longs +
-        # doubles move through the scoring shuffles)
+        # doubles move through the scoring shuffles).
+        # ONE reference to the lazily-checkpointed cand plan (explode
+        # of both endpoints), not a union of two selects: the first
+        # consuming job (the eager weights ckpt below) is what
+        # materializes cand, and two references there would both
+        # recompute parts of the band self-join (block population is
+        # first-writer-wins, uncoordinated) and open the
+        # doCheckpoint/getCacheLocs lock-inversion window
+        # (session.ckpt docstring).
         cand_tids = (
-            cand.select(F.col("ta").alias("tid"))
-            .union(cand.select(F.col("tb").alias("tid")))
+            cand.select(F.explode(F.array("ta", "tb")).alias("tid"))
             .distinct()
         )
         # checkpoint: wa/wb below are two references to this plan in

@@ -179,7 +179,7 @@ def write_graph(g: GraphTables, root: str,
     # shrink); the counts afterwards read parquet footer metadata only
     from concurrent.futures import ThreadPoolExecutor
 
-    # Pre-materialize every lazily-checkpointed node plan SERIALLY
+    # Pre-materialize every lazily-checkpointed node plan in ONE job
     # before fanning out: Spark's RDD checkpoint machinery has a
     # lock-order inversion — RDD.doCheckpoint takes the global
     # RDDCheckpointData$ lock then the RDD's own lock, while the
@@ -191,26 +191,35 @@ def write_graph(g: GraphTables, root: str,
     # dag-scheduler-event-loop in getCacheLocs, both on the same node
     # table; the suite hung for 35+ min on an idle machine). The
     # triples plan references every node table, so the write fan-out
-    # below is exactly that race. One count() per node table closes
-    # the window (and also prevents concurrent first-materialization
-    # from duplicating the upstream aggregation — session.ckpt
-    # docstring); the node tables are aggregation outputs, orders of
-    # magnitude smaller than the corpus, and the expensive part — the
-    # 9 table writes — stays concurrent.
-    for df in g.nodes.values():
-        df.count()
+    # below is exactly that race. ONE count over a superset-schema
+    # union of the node tables closes the window (each ckpt RDD is
+    # computed exactly once, all on this single action thread, and the
+    # union branches fill the cores concurrently) — a serial
+    # count-per-table loop paid 7 driver-blocking actions of fixed
+    # scheduler latency for the same materialization (round-4 verdict
+    # task 4); the expensive part — the 9 table writes — stays
+    # concurrent below.
+    from functools import reduce
+    reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True),
+           g.nodes.values()).count()
 
     jobs = [(label, f"{root}/nodes_{label.lower()}", df, None)
             for label, df in g.nodes.items()]
     jobs.append(("edges", f"{root}/edges", g.edges, ["pred"]))
     jobs.append(("triples", f"{root}/triples", g.triples, ["pred"]))
+
+    def _write_and_count(df: DataFrame, path: str, part) -> int:
+        # count INSIDE the worker thread: footer-metadata reads are
+        # cheap jobs, but nine of them in a serial post-write loop
+        # were nine more driver round-trips on the critical path
+        _write(df, path, partition_by=part)
+        return spark.read.parquet(path).count()
+
     with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-        futs = [(key, path,
-                 pool.submit(_write, df, path, partition_by=part))
+        futs = [(key, pool.submit(_write_and_count, df, path, part))
                 for key, path, df, part in jobs]
-        for key, path, f in futs:
-            f.result()
-            counts[key] = spark.read.parquet(path).count()
+        for key, f in futs:
+            counts[key] = f.result()
     if with_search_indexes:
         from openalex_neo4j_spark.search import work_fulltext_index
 
