@@ -334,11 +334,17 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
                     .alias("cosine"))
         )
         # year compatibility was enforced at candidate generation —
-        # every surviving pair is already year-compatible
+        # every surviving pair is already year-compatible.
+        # Edge endpoints stay 8-byte LONG tids end-to-end: the CC
+        # representative is arbitrary-but-deterministic either way
+        # (cluster ids below come from canon_key/norm_title minima,
+        # never from the component id), and long keys halve the
+        # driver-serial Arrow collect + union-find + re-upload on the
+        # driver CC path — pure Amdahl time in the scaling legs — while
+        # the distributed path shuffles fixed-width keys.
         fuzzy_edges = (
             scored.filter(F.col("cosine") >= COSINE_THRESHOLD)
-            .select(F.col("ta").cast("string").alias("src"),
-                    F.col("tb").cast("string").alias("dst"))
+            .select(F.col("ta").alias("src"), F.col("tb").alias("dst"))
         )
         fuzzy_edges = ckpt(fuzzy_edges, eager=False)
 
@@ -353,15 +359,15 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
         cc = connected_components_auto(fuzzy_edges)
         if cc is not None:
             comp_map = cc.select(
-                F.col("node").cast("long").alias("tid"), F.col("component"))
+                F.col("node").alias("tid"),
+                F.col("component").cast("long").alias("component"))
 
     if comp_map is not None:
         grp = grp.join(comp_map, "tid", "left")
     else:
-        grp = grp.withColumn("component", F.lit(None).cast("string"))
+        grp = grp.withColumn("component", F.lit(None).cast("long"))
     grp = grp.withColumn(
-        "component",
-        F.coalesce(F.col("component"), F.col("tid").cast("string")))
+        "component", F.coalesce(F.col("component"), F.col("tid")))
 
     # cluster id per component: min canonical DOI key, else minted
     # title id. A window over component (one shuffle, unbounded frame)
