@@ -122,6 +122,120 @@ def upsert_nodes(spark: SparkSession, path: str, new_df: DataFrame,
     return spark.read.parquet(path)
 
 
+def _staged_overwrite(df: DataFrame, path: str,
+                      partition_by: list[str] | None = None) -> None:
+    """Overwrite ``path`` via a staged write + rename-commit, so the
+    plan may READ the previous table at ``path`` (the staged write
+    fully executes before the live dir moves) and a crash at any point
+    leaves the previous table readable."""
+    staged = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staged)
+    _commit_table(staged, path)
+
+
+def merge_graph(g: GraphTables, root: str,
+                with_search_indexes: bool = False) -> dict[str, int]:
+    """Cumulative import: MERGE a newly built :class:`GraphTables`
+    into an existing graph directory — the reference's re-import
+    semantics, where a second run MERGEs into the live Neo4j store
+    instead of replacing it (importer.py:87-93 re-run;
+    ``MERGE … SET n += item`` neo4j_client.py:246-252 upserts node
+    props last-wins and relationship MERGE is set semantics).
+
+    - **Nodes**: last-wins upsert per label (A2, ``upsert_nodes``).
+    - **Edges**: set-union MERGE on (subj, pred, obj) — a re-imported
+      edge cannot duplicate.
+    - **Derived counts refreshed from the MERGED edge set**: a delta
+      import can add CITES edges pointing at works that were not in
+      the delta, so the stale last-wins counts are recomputed over the
+      merged edges (Work.cited_by_count, Author.works_count/
+      cited_by_count, Source.works_count, Publisher.works_count).
+      Institution.works_count stays last-wins — it derives from linked
+      mentions, which the warehouse does not retain across imports
+      (documented boundary; see pipeline.enrich_node_counts).
+    - **Triples REBUILT** from the merged node/edge state (property
+      triples must reflect merged props, not the delta's).
+
+    Identity note: DOI-keyed works, ORCID authors, ROR institutions,
+    ISSN sources and slug-keyed topics/funders/publishers merge
+    globally across imports by construction (their ids are computed
+    from the entity, like the reference's OpenAlex ids). Title-minted
+    orphan works merge when their normalized titles collapse to the
+    same group; cross-import FUZZY links (LSH/TF-IDF) are not
+    re-evaluated against the historical corpus — linking is per-import,
+    the same boundary the reference has (it never re-links previously
+    imported records either).
+    """
+    spark = g.edges.sparkSession
+    from openalex_neo4j_spark.pipeline import (build_triples,
+                                               enrich_node_counts)
+
+    t0 = time.time()
+    counts: dict[str, int] = {}
+
+    merged: dict[str, DataFrame] = {}
+    for label, df in g.nodes.items():
+        merged[label] = upsert_nodes(
+            spark, f"{root}/nodes_{label.lower()}", df)
+
+    epath = f"{root}/edges"
+    _recover_table(epath)
+    try:
+        old_e = spark.read.parquet(epath).select("subj", "pred", "obj")
+    except Exception:
+        old_e = None
+    new_e = g.edges.select("subj", "pred", "obj")
+    all_e = (new_e if old_e is None
+             else old_e.unionByName(new_e)
+             .dropDuplicates(["subj", "pred", "obj"]))
+    _staged_overwrite(all_e, epath, partition_by=["pred"])
+    edges = spark.read.parquet(epath).select("subj", "pred", "obj")
+    counts["edges"] = edges.count()
+
+    # refresh the edge-derived counts on the merged tables
+    base = dict(merged)
+    refresh_cols = {"Work": ["cited_by_count"],
+                    "Author": ["works_count", "cited_by_count"],
+                    "Source": ["works_count"],
+                    "Publisher": ["works_count"]}
+    for label, cols in refresh_cols.items():
+        base[label] = merged[label].drop(*cols)
+    refreshed = enrich_node_counts(base, edges, linked=None)
+    for label in refresh_cols:
+        path = f"{root}/nodes_{label.lower()}"
+        # the refreshed plan reads only its OWN old table (+ edges +
+        # the eagerly checkpointed Work blocks), so per-label staged
+        # overwrites cannot read a path they just replaced
+        _staged_overwrite(refreshed[label], path)
+        merged[label] = spark.read.parquet(path)
+    for label in merged:
+        counts[label] = merged[label].count()
+
+    triples = build_triples(merged, edges)
+    _staged_overwrite(triples, f"{root}/triples", partition_by=["pred"])
+    counts["triples"] = spark.read.parquet(f"{root}/triples").count()
+
+    if with_search_indexes:
+        from openalex_neo4j_spark.search import work_fulltext_index
+
+        _staged_overwrite(work_fulltext_index(merged["Work"]),
+                          f"{root}/index_fulltext")
+        counts["index_fulltext"] = spark.read.parquet(
+            f"{root}/index_fulltext").count()
+
+    from openalex_neo4j_spark.schemas import LINEAGE_SCHEMA
+
+    wall_ms = int((time.time() - t0) * 1000)
+    spark.createDataFrame(
+        [("merge", -1, None, counts["triples"], wall_ms, "done", "merge")],
+        LINEAGE_SCHEMA,
+    ).write.mode("append").parquet(f"{root}/lineage")
+    return counts
+
+
 def _write(df: DataFrame, path: str, partition_by: list[str] | None = None) -> int:
     w = df.write.mode("overwrite")
     if partition_by:

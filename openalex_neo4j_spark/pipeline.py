@@ -259,7 +259,8 @@ def build_edges(linked: DataFrame, works: DataFrame) -> DataFrame:
 
 
 def enrich_node_counts(nodes: dict[str, DataFrame], edges: DataFrame,
-                       linked: DataFrame) -> dict[str, DataFrame]:
+                       linked: DataFrame | None = None
+                       ) -> dict[str, DataFrame]:
     """Derived count properties (round-1 verdict item 5; reference
     dataclasses persist them — models.py:168-175, 203-211, 241-250,
     317-323, and the README's most-cited queries want them,
@@ -276,7 +277,15 @@ def enrich_node_counts(nodes: dict[str, DataFrame], edges: DataFrame,
 
     Each is one groupBy over an edge slice (map-side partial agg,
     fixed-width keys) followed by a left join back to the (much
-    smaller) node table — broadcast-friendly at any scale."""
+    smaller) node table — broadcast-friendly at any scale.
+
+    ``linked=None`` (the cumulative-import refresh path,
+    materialize.merge_graph): every count above is re-derivable from
+    the merged EDGE tables except Institution.works_count, which
+    counts distinct works per institution from the linked mentions —
+    a corpus-history fact the warehouse does not retain. With no
+    ``linked``, the Institution table passes through unchanged (the
+    caller keeps its last-wins merged value; documented boundary)."""
     cites_in = (
         edges.filter(F.col("pred") == "CITES")
         .groupBy(F.col("obj").alias("id"))
@@ -313,17 +322,22 @@ def enrich_node_counts(nodes: dict[str, DataFrame], edges: DataFrame,
                     F.coalesce("cited_by_count", F.lit(0)))
     )
 
-    inst_key = F.concat(
-        F.lit("ror:"), F.element_at(F.split(F.trim(F.col("i.ror")), "/"), -1))
-    inst_works = (
-        linked.select("work_key", F.explode("institutions").alias("i"))
-        .filter(F.col("i.ror").isNotNull() & (F.trim(F.col("i.ror")) != ""))
-        .select("work_key", inst_key.alias("id"))
-        .distinct()
-        .groupBy("id").agg(F.count("*").alias("works_count"))
-    )
-    institution = nodes["Institution"].join(inst_works, "id", "left").withColumn(
-        "works_count", F.coalesce("works_count", F.lit(0)))
+    if linked is not None:
+        inst_key = F.concat(
+            F.lit("ror:"),
+            F.element_at(F.split(F.trim(F.col("i.ror")), "/"), -1))
+        inst_works = (
+            linked.select("work_key", F.explode("institutions").alias("i"))
+            .filter(F.col("i.ror").isNotNull() & (F.trim(F.col("i.ror")) != ""))
+            .select("work_key", inst_key.alias("id"))
+            .distinct()
+            .groupBy("id").agg(F.count("*").alias("works_count"))
+        )
+        institution = nodes["Institution"].join(
+            inst_works, "id", "left").withColumn(
+            "works_count", F.coalesce("works_count", F.lit(0)))
+    else:
+        institution = nodes["Institution"]
 
     pub_in = edges.filter(F.col("pred") == "PUBLISHED_IN").select(
         F.col("subj").alias("work_id"), F.col("obj").alias("source_id"))

@@ -26,6 +26,10 @@ def cmd_import(args) -> int:
     from openalex_neo4j_spark.materialize import write_graph
     from openalex_neo4j_spark.sources import read_pages
 
+    import os
+
+    from openalex_neo4j_spark.materialize import merge_graph
+
     if args.clear:
         # S5 (neo4j_client.py:350-358): full-graph delete
         shutil.rmtree(args.out, ignore_errors=True)
@@ -33,10 +37,17 @@ def cmd_import(args) -> int:
     g = import_from_query(pages, args.query, limit=args.limit,
                           expand_depth=args.expand_depth,
                           skip_abstracts=args.skip_abstracts)
-    # index DDL at import time (reference importer step 5)
-    counts = write_graph(g, args.out, with_search_indexes=True)
-    # A7 import-count report (cli.py:159-181)
-    print("Import complete:")
+    if os.path.isdir(os.path.join(args.out, "nodes_work")):
+        # reference re-import semantics: without --clear, a second
+        # import MERGEs into the existing graph (cumulative), exactly
+        # like Neo4j MERGE — nodes last-wins, edges set-union, derived
+        # counts refreshed, triples rebuilt
+        counts = merge_graph(g, args.out, with_search_indexes=True)
+        print("Merge import complete (cumulative):")
+    else:
+        # index DDL at import time (reference importer step 5)
+        counts = write_graph(g, args.out, with_search_indexes=True)
+        print("Import complete:")
     for k in ("Work", "Author", "Institution", "Source", "Topic",
               "Publisher", "Funder"):
         print(f"  {k:<12} {counts.get(k, 0):>8} nodes")
