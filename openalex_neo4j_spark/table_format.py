@@ -352,6 +352,16 @@ class SnapshotTable:
 
         return self._retry(commit)
 
+    def compact(self, num_groups: int) -> int:
+        """Re-cluster the current state into ``num_groups`` range-
+        clustered groups (one commit). Merges coalesce every touched
+        group into ONE group spanning the union of their key ranges,
+        so a long merge history degrades pruning; periodic compaction
+        restores tight per-group spans (Iceberg's rewrite_data_files
+        analog). History stays time-travelable; reclaim old groups
+        with expire_snapshots + vacuum."""
+        return self.overwrite_clustered(self.read(), num_groups)
+
     def delete_where(self, condition: str) -> int:
         """Copy-on-write DELETE: rewrite every group minus the matching
         rows (no stats pruning — an arbitrary predicate can hit any

@@ -377,3 +377,32 @@ def test_vacuum_keeps_live_clustered_group_dirs(spark, root):
     removed = t.vacuum(older_than_s=0)
     assert removed == []
     assert t.read().count() == 32
+
+
+def test_compact_restores_clustering_and_pruning(spark, root):
+    """After merges degrade clustering (touched groups coalesce into
+    one wide-span group), compact() re-clusters so the next merge
+    prunes again; data unchanged, history time-travelable."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(spark, root, key="k")
+    df = spark.range(0, 64).select(
+        F.format_string("k%04d", F.col("id")).alias("k"),
+        F.col("id").alias("val"))
+    t.overwrite_clustered(df, 8)
+    # two merges at opposite ends of the key space -> the second
+    # merge's rewritten group spans a wide range
+    t.merge(spark.createDataFrame([("k0001", -1)], "k string, val long"))
+    t.merge(spark.createDataFrame([("k0062", -2)], "k string, val long"))
+    v = t.compact(8)
+    m = t._load_manifest(v)
+    assert len(m["groups"]) == 8
+    # post-compaction merge prunes to one group again
+    t.merge(spark.createDataFrame([("k0005", -5)], "k string, val long"))
+    m2 = t._load_manifest(t.current_version())
+    carried = {g["path"] for g in m["groups"]} & {g["path"]
+                                                  for g in m2["groups"]}
+    assert len(carried) == 7
+    got = {r["k"]: r["val"] for r in t.read().collect()}
+    assert got["k0001"] == -1 and got["k0062"] == -2 and got["k0005"] == -5
+    assert len(got) == 64
