@@ -23,6 +23,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame, *by: str) -> DataFrame:
+    """Fix input under-parallelism for compute-heavy paths (guide §2.5
+    input skew: a single huge parquet file with ~1M-row row groups
+    arrives in 1-6 splits, so per-row compute idles all but a handful
+    of cores). Repartition to ``defaultParallelism`` — hash on ``by``
+    when a groupBy on those keys follows (the exchange then *replaces*
+    the aggregation exchange instead of adding one; a partitioning on
+    a subset of the grouping keys satisfies the clustered
+    distribution), round-robin otherwise. Scale-adaptive, not a tuned
+    constant: a well-split input (>= one split per core — any real
+    multi-file table at cluster scale) passes through untouched, so
+    this only fires on the pathological single-file layout. Results
+    are partitioning-independent (aggregations/windows/top-k only)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *by) if by else df.repartition(target)
+
+
 # ---------------------------------------------------------------------------
 # Relational operator parity (SURVEY §2: S/P/F/J/A/W ops) on TPC-H-ish tables
 # ---------------------------------------------------------------------------
@@ -43,8 +63,14 @@ def q_customers_without_orders(spark, sf):
 
 
 def q_token_explode(spark, sf):
-    """J3 explode + count (importer.py:238-247 array un-nesting)."""
-    d = _t(spark, sf, "documents")
+    """J3 explode + count (importer.py:238-247 array un-nesting).
+
+    _spread by doc_id: the hash exchange replaces the (doc_id, tok)
+    aggregation exchange (subset-key partitioning satisfies the
+    grouping distribution), so the explode + partial agg run on every
+    core instead of inside the single-split scan task."""
+    d = _spread(_t(spark, sf, "documents").select("doc_id", "text"),
+                "doc_id")
     return (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
@@ -55,11 +81,29 @@ def q_token_explode(spark, sf):
 
 def q_group_cross_product(spark, sf):
     """J4 per-group cross product + pair dedup — the AFFILIATED_WITH
-    quirk shape (importer.py:253-273)."""
+    quirk shape (importer.py:253-273).
+
+    Round-6 shape: ONE scan + ONE aggregation exchange on the group
+    key, then a row-local set cross product (explode x explode),
+    instead of the self-join formulation (two scans of lineitem and a
+    build of a multi-million-row broadcast hash relation on the
+    driver). collect_set dedups (ok, pk) / (ok, sk) inside the same
+    exchange, so the generated pair stream is the per-order distinct
+    cross product; the final distinct's map-side partial agg sees the
+    same pairs as the join form and the result is row-identical."""
     li = _t(spark, sf, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
-    return a.join(b, "ok").select("pk", "sk").distinct()
+    per_order = (
+        _spread(li.select("l_orderkey", "l_partkey", "l_suppkey"),
+                "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("_pks"),
+             F.collect_set("l_suppkey").alias("_sks"))
+    )
+    return (
+        per_order.select(F.explode("_pks").alias("pk"), "_sks")
+        .select("pk", F.explode("_sks").alias("sk"))
+        .distinct()
+    )
 
 
 def q_order_parts_agg(spark, sf):
@@ -123,7 +167,11 @@ def q_rrf_fusion(spark, sf):
     w1 = Window.orderBy(F.col("n_chars").desc(), "doc_id")
     leg1 = (d.select("doc_id", F.row_number().over(w1).alias("rv"))
             .filter(F.col("rv") <= 20))
-    ntok = d.select(
+    # _spread (round-robin): the distinct-token count is per-row
+    # compute over the whole text column and the single-split scan
+    # would otherwise run it on one core; TakeOrderedAndProject below
+    # is partitioning-independent.
+    ntok = _spread(d.select("doc_id", "text")).select(
         "doc_id",
         F.size(F.array_distinct(
             F.filter(F.split("text", " "), lambda t: t != ""))).alias("nd"),
@@ -270,14 +318,37 @@ def q_region_customer_counts(spark, sf):
 
 
 def q_cosupplier_pairs(spark, sf):
-    """Self-join collaborator analog (README.md:342-346)."""
+    """Self-join collaborator analog (README.md:342-346).
+
+    Round-6 shape: ONE scan + ONE aggregation exchange on the order
+    key collects the sorted distinct supplier set per order, then the
+    sa < sb pairs are generated row-locally (indexed transform over
+    the sorted set — each pair emitted exactly once per order, so the
+    old distinct-over-join-output exchange disappears), then one
+    count aggregation + TakeOrderedAndProject. Replaces two lineitem
+    scans, a join, and a 3-column distinct shuffle of the joined
+    stream. The sorted-set pairs are exactly the DISTINCT
+    (ok, sa, sb) rows with sa < sb of the join form, so shared_orders
+    counts are identical."""
     li = _t(spark, sf, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
-    pairs = (
-        a.join(b, "ok").filter(F.col("sa") < F.col("sb"))
-        .select("ok", "sa", "sb").distinct()
+    per_order = (
+        _spread(li.select("l_orderkey", "l_suppkey"), "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("_ss"))
     )
+    pairs = per_order.select(
+        F.explode(
+            F.flatten(F.transform(
+                F.col("_ss"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ss"), i + 2,
+                            F.greatest(F.size(F.col("_ss")) - i - 1,
+                                       F.lit(0))),
+                    lambda y: F.struct(x.alias("sa"), y.alias("sb")),
+                ),
+            ))
+        ).alias("p")
+    ).select(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
     return (
         pairs.groupBy("sa", "sb").agg(F.count("*").alias("shared_orders"))
         .orderBy(F.col("shared_orders").desc(), "sa", "sb").limit(10)
@@ -296,15 +367,21 @@ def q_exact_dedup(spark, sf):
 
 def q_minhash_sigs(spark, sf):
     from openalex_neo4j_spark.operators.dedup import minhash_signatures
+    # _spread by doc_id: the signature groupBy(id) reuses the exchange
+    # (alias-aware partitioning), so shingling + md5 run on every core
     return minhash_signatures(
-        _t(spark, sf, "documents"), num_hashes=4
+        _spread(_t(spark, sf, "documents").select("doc_id", "text"),
+                "doc_id"),
+        num_hashes=4,
     ).select(F.col("id").alias("doc_id"), "seed", "minh")
 
 
 def q_simhash(spark, sf):
     from openalex_neo4j_spark.operators.dedup import simhash_signatures
-    return simhash_signatures(_t(spark, sf, "documents")).select(
-        F.col("id").alias("doc_id"), "simhash")
+    return simhash_signatures(
+        _spread(_t(spark, sf, "documents").select("doc_id", "text"),
+                "doc_id")
+    ).select(F.col("id").alias("doc_id"), "simhash")
 
 
 def q_simhash64(spark, sf):
@@ -378,7 +455,9 @@ def q_embedding_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe"))
-    b = e.filter(F.col("vec_id") != 0)
+    # _spread (round-robin): the dot/norm folds are per-row compute
+    # and the embeddings table arrives as one split
+    b = _spread(e.filter(F.col("vec_id") != 0))
     dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
     dot = F.aggregate(F.zip_with(dbl(F.col("embedding")), dbl(F.col("qe")),
                                  lambda x, y: x * y),

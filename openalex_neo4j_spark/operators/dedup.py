@@ -66,16 +66,44 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 16,
                        k: int = 3) -> DataFrame:
     """(id, seed, minh): minh = min(md5('{seed}|{shingle}')) as a hex
-    string — lexicographic min is engine-stable (Spark/DuckDB/Python)."""
-    sh = _token_shingles(df, id_col, text_col, k)
-    seeded = sh.select(
-        "id", "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-    ).select(
-        "id", "seed",
-        F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))).alias("h"),
+    string — lexicographic min is engine-stable (Spark/DuckDB/Python).
+
+    Plan shape (round-6 optimization, same discipline as
+    linking._minhash_bands): row-local shingle array -> explode ->
+    ``num_hashes`` md5 columns in one codegen projection -> ONE
+    groupBy(id) with per-seed mins (map-side partial agg; one row per
+    doc enters the exchange) -> row-local explode back to (seed, minh)
+    rows. The previous shape paid three wide exchanges — a distinct on
+    (id, shingle), then a ``num_hashes``-way seed explode feeding a
+    sort-aggregate on (id, seed) that shuffled every (id, seed, md5)
+    row — all removable because min() is insensitive to duplicate
+    shingles and the per-seed mins commute with banding downstream.
+    Output rows are bit-identical (verified against the frozen DuckDB
+    oracle)."""
+    arr = F.split(F.col(text_col), " ")
+    shingle_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(arr) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, k)),
+        )
     )
-    return seeded.groupBy("id", "seed").agg(F.min("h").alias("minh"))
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.explode(shingle_arr).alias("shingle"))
+    hash_cols = [
+        F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle"))).alias(f"_h{s}")
+        for s in range(num_hashes)
+    ]
+    per_id = (
+        sh.select("id", *hash_cols)
+        .groupBy("id")
+        .agg(*[F.min(f"_h{s}").alias(f"_m{s}") for s in range(num_hashes)])
+    )
+    kv = F.array(*[
+        F.struct(F.lit(s).alias("seed"), F.col(f"_m{s}").alias("minh"))
+        for s in range(num_hashes)
+    ])
+    return per_id.select("id", F.explode(kv).alias("kv")).select(
+        "id", F.col("kv.seed").alias("seed"), F.col("kv.minh").alias("minh"))
 
 
 def minhash_bands(sigs: DataFrame, band_size: int = 2) -> DataFrame:
@@ -193,33 +221,35 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     Token hash bits come from the first bits/4 hex chars of md5(tok);
     bit b of the signature is 1 iff sum over tokens of (2*bit_b - 1)
     is positive. Duplicate tokens count with multiplicity.
+
+    Plan shape (round-6 optimization — the discipline
+    simhash64_signatures already used): the ``bits`` per-bit
+    contributions are ``bits`` conditional SUM aggregates inside a
+    single groupBy(id) (map-side partial agg, whole-stage codegen; one
+    row per doc enters the only exchange), and the final signature is
+    packed row-locally from the per-bit sums. The previous shape
+    exploded ``bits`` rows per token and paid two aggregation
+    exchanges — (id, b) then (id). Identical output: bit b is set iff
+    sum over tokens of (2*bit_b - 1) > 0, duplicate tokens with
+    multiplicity, exactly as before.
     """
     nhex = bits // 4
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
-    h = toks.select("id", F.substring(F.md5("tok"), 1, nhex).alias("hx"))
-    pos = h.select(
-        "id", "hx",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-    )
-    nib = F.conv(
-        F.col("hx").substr((F.col("b") / 4).cast("int") + 1, F.lit(1)), 16, 10
-    ).cast("int")
-    bit = F.floor(nib / F.pow(F.lit(2), F.col("b") % 4)).cast("long") % 2
-    contrib = pos.select("id", "b", (bit * 2 - 1).alias("c"))
-    per_bit = contrib.groupBy("id", "b").agg(F.sum("c").alias("s"))
-    return (
-        per_bit.groupBy("id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0,
-                       F.pow(F.lit(2), F.col("b")).cast("long"))
-                .otherwise(F.lit(0))
-            ).alias("simhash")
-        )
-    )
+    hx = F.substring(F.md5(F.col("tok")), 1, nhex)
+    aggs = []
+    for b in range(bits):
+        nib = F.conv(F.substring(hx, b // 4 + 1, 1), 16, 10).cast("int")
+        bit = F.shiftright(nib, b % 4).bitwiseAND(F.lit(1)).cast("long")
+        aggs.append(F.sum(bit * 2 - 1).alias(f"_s{b}"))
+    per_id = toks.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"_s{b}") > 0,
+                           F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return per_id.select("id", sig.alias("simhash"))
 
 
 def simhash64_signatures(df: DataFrame, id_col: str = "doc_id",
