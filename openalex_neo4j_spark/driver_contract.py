@@ -92,9 +92,13 @@ def q_group_cross_product(spark, sf):
     cross product; the final distinct's map-side partial agg sees the
     same pairs as the join form and the result is row-identical."""
     li = _t(spark, sf, "lineitem")
+    # round-robin spread, deliberately NOT keyed: a key-hash spread is
+    # absorbed into the aggregation exchange (plan unchanged) and the
+    # two-set collect_set partial agg then still runs on the handful
+    # of scan splits; the RR exchange costs one narrow-row pass but
+    # runs the partial agg on every core (A/B: 4.21s -> 3.88s sf1.0)
     per_order = (
-        _spread(li.select("l_orderkey", "l_partkey", "l_suppkey"),
-                "l_orderkey")
+        _spread(li.select("l_orderkey", "l_partkey", "l_suppkey"))
         .groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("_pks"),
              F.collect_set("l_suppkey").alias("_sks"))
@@ -433,8 +437,15 @@ NGRAM_DF_CAP = 50
 def q_ngram_jaccard(spark, sf):
     from openalex_neo4j_spark.operators.dedup import (_token_shingles,
                                                       shingle_jaccard)
+    from openalex_neo4j_spark.session import ckpt
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    sh = _token_shingles(d, "doc_id", "text")
+    # materialize the (id, shingle) frame ONCE: it feeds the hot-cap
+    # aggregation, both sides of the candidate self-join, the
+    # intersection legs and the size legs — unmaterialized, Catalyst
+    # re-executed the explode+distinct subtree four times (the
+    # round-6 plan audit counted 60 Exchange nodes, almost all
+    # scheduling overhead at this query's bounded size)
+    sh = ckpt(_token_shingles(d, "doc_id", "text"))
     hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
            .filter(F.col("_df") > NGRAM_DF_CAP).select("shingle"))
     cand_sh = sh.join(hot, "shingle", "left_anti")
@@ -446,7 +457,7 @@ def q_ngram_jaccard(spark, sf):
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )
-    j = shingle_jaccard(d, pairs)
+    j = shingle_jaccard(d, pairs, shingles=sh)
     return j.orderBy(F.col("jaccard").desc(), "a", "b").limit(20)
 
 

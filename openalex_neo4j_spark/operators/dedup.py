@@ -153,13 +153,23 @@ def minhash_candidates(bands: DataFrame,
 
 
 def shingle_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text", k: int = 3) -> DataFrame:
+                    text_col: str = "text", k: int = 3,
+                    shingles: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard over word-k-shingle sets for given (a, b) pairs.
 
     inter via inverted-index join on shingle; union = |A|+|B|-inter.
     Integer counts only -> the final double division is deterministic.
+
+    ``shingles``: optionally pass a precomputed (id, shingle) frame
+    (e.g. one the caller already materialized for candidate
+    generation) — without it the shingle subtree is recomputed here
+    for the intersection AND the size legs, and Catalyst cannot dedup
+    the three column-pruned copies (round-6 plan audit: the
+    q_ngram_jaccard plan carried four Generate+Exchange copies of the
+    same shingle explode).
     """
-    sh = _token_shingles(df, id_col, text_col, k)
+    sh = (shingles if shingles is not None
+          else _token_shingles(df, id_col, text_col, k))
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     sa = sh.withColumnRenamed("id", "a")
     sb = sh.withColumnRenamed("id", "b")
@@ -238,13 +248,22 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
-    hx = F.substring(F.md5(F.col("tok")), 1, nhex)
+    # materialize the md5 nibbles ONCE per token in a projection below
+    # the aggregate — the ``bits`` aggregate expressions then do pure
+    # integer arithmetic instead of each re-deriving
+    # conv(substring(md5(tok))) (codegen subexpression elimination is
+    # not guaranteed across independent aggregate expressions)
+    hx = F.md5(F.col("tok"))
+    nibs = toks.select("id", *[
+        F.conv(F.substring(hx, i + 1, 1), 16, 10).cast("int").alias(f"_n{i}")
+        for i in range(nhex)
+    ])
     aggs = []
     for b in range(bits):
-        nib = F.conv(F.substring(hx, b // 4 + 1, 1), 16, 10).cast("int")
-        bit = F.shiftright(nib, b % 4).bitwiseAND(F.lit(1)).cast("long")
+        bit = (F.shiftright(F.col(f"_n{b // 4}"), b % 4)
+               .bitwiseAND(F.lit(1)).cast("long"))
         aggs.append(F.sum(bit * 2 - 1).alias(f"_s{b}"))
-    per_id = toks.groupBy("id").agg(*aggs)
+    per_id = nibs.groupBy("id").agg(*aggs)
     sig = F.lit(0).cast("long")
     for b in range(bits):
         sig = sig + F.when(F.col(f"_s{b}") > 0,
@@ -279,13 +298,19 @@ def simhash64_signatures(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
+    # nibbles materialized once per token below the aggregate (round-6:
+    # same rationale as simhash_signatures — 64 aggregate expressions
+    # must not each re-derive conv(substring(md5(tok))))
     hx = F.md5(F.col("tok"))
+    nibs = toks.select("id", *[
+        F.conv(F.substring(hx, i + 1, 1), 16, 10).cast("int").alias(f"_n{i}")
+        for i in range(16)
+    ])
     aggs = []
     for b in range(64):
-        nib = F.conv(F.substring(hx, b // 4 + 1, 1), 16, 10).cast("int")
-        bit = F.shiftright(nib, b % 4).bitwiseAND(F.lit(1))
+        bit = F.shiftright(F.col(f"_n{b // 4}"), b % 4).bitwiseAND(F.lit(1))
         aggs.append(F.sum(bit * 2 - 1).alias(f"_s{b}"))
-    per_id = toks.groupBy("id").agg(*aggs)
+    per_id = nibs.groupBy("id").agg(*aggs)
     band_cols = []
     for k in range(4):
         expr = F.lit(0)
