@@ -29,6 +29,30 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from openalex_neo4j_spark.pipeline import GraphTables
 
 
+def _read_prior(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read an existing table for a cumulative MERGE, treating ONLY
+    path-absence (or a data-less directory) as 'no prior state'.
+
+    The previous bare ``except Exception: None`` converted a
+    transient/corrupt read failure into a silent destructive replace:
+    the merge would proceed with old=None and _staged_overwrite would
+    commit just the delta over the live table (round-5 ADVICE,
+    medium). Any error other than missing-path/no-files re-raises so a
+    failed read aborts the merge instead of dropping history."""
+    if not os.path.exists(path):
+        return None
+    from pyspark.errors import AnalysisException
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        s = str(e)
+        # dir exists but holds no data files (e.g. only staging/marker
+        # leftovers) — legitimately "no prior table"
+        if "UNABLE_TO_INFER_SCHEMA" in s or "PATH_NOT_FOUND" in s:
+            return None
+        raise
+
+
 def _recover_table(path: str) -> None:
     """If a previous commit crashed between the two renames (live dir
     moved aside, staged dir not yet promoted), restore the backup."""
@@ -102,10 +126,9 @@ def upsert_nodes(spark: SparkSession, path: str, new_df: DataFrame,
         t.merge(new_df)
         return t.read()
     _recover_table(path)
-    try:
-        old = spark.read.parquet(path).withColumn("_gen", F.lit(0))
-    except Exception:
-        old = None
+    old = _read_prior(spark, path)
+    if old is not None:
+        old = old.withColumn("_gen", F.lit(0))
     new = new_df.withColumn("_gen", F.lit(1))
     merged = new if old is None else old.unionByName(new, allowMissingColumns=True)
     w = Window.partitionBy(key).orderBy(F.col("_gen").desc())
@@ -183,10 +206,9 @@ def merge_graph(g: GraphTables, root: str,
 
     epath = f"{root}/edges"
     _recover_table(epath)
-    try:
-        old_e = spark.read.parquet(epath).select("subj", "pred", "obj")
-    except Exception:
-        old_e = None
+    old_e = _read_prior(spark, epath)
+    if old_e is not None:
+        old_e = old_e.select("subj", "pred", "obj")
     new_e = g.edges.select("subj", "pred", "obj")
     all_e = (new_e if old_e is None
              else old_e.unionByName(new_e)

@@ -63,8 +63,18 @@ def migrate_flat_layout(out_root: str) -> int:
     for f in os.listdir(ms_dir):
         if f.startswith(("epoch=", "_", ".")):
             continue
+        src = os.path.join(ms_dir, f)
+        # move only regular files: a stray subdirectory relocated into
+        # epoch=-1/ would break partition discovery on read instead of
+        # being flagged here (round-5 ADVICE, low)
+        if not os.path.isfile(src):
+            import warnings
+            warnings.warn(
+                f"migrate_flat_layout: skipping unexpected directory "
+                f"{src!r} (not a flat part file)")
+            continue
         os.makedirs(dest, exist_ok=True)
-        os.replace(os.path.join(ms_dir, f), os.path.join(dest, f))
+        os.replace(src, os.path.join(dest, f))
         moved += 1
     return moved
 

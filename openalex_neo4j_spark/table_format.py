@@ -272,6 +272,15 @@ class SnapshotTable:
         (df.repartitionByRange(num_groups, F.col(self.key))
            .withColumn(gcol, F.spark_partition_id())
            .write.mode("errorifexists").partitionBy(gcol).parquet(path))
+        # An EMPTY input writes zero part files and zero partition
+        # dirs; read.parquet(path) would raise 'Unable to infer
+        # schema'. Commit an empty snapshot instead (matching
+        # delete_where's delete-all behavior) — compact() after a
+        # delete-all routes through here (round-5 ADVICE, low).
+        if not any(f.startswith(f"{gcol}=") for f in os.listdir(path)):
+            return self._retry(
+                lambda: self._commit(self.current_version(), "overwrite",
+                                     []))
         # stats from the written files (never drift from the data);
         # one job over all groups instead of one per group
         written = self.spark.read.parquet(path)

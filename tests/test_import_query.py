@@ -145,3 +145,45 @@ def test_upsert_crash_preserves_old_table(spark, tmp_path, monkeypatch):
     got = {r["id"]: r["title"]
            for r in mat.upsert_nodes(spark, path, second).collect()}
     assert got == {"a": "v2", "b": "B"}, "recovery + merge must succeed"
+
+
+def test_upsert_read_failure_aborts_instead_of_replacing(spark, tmp_path):
+    """A corrupt/unreadable EXISTING table must abort the merge, not be
+    silently treated as 'no prior state' and destructively replaced
+    with only the delta (round-6: _read_prior re-raises non-missing
+    read errors)."""
+    from openalex_neo4j_spark.materialize import upsert_nodes
+
+    path = str(tmp_path / "nodes_corrupt")
+    first = spark.createDataFrame([("a", "v1")], ["id", "title"])
+    upsert_nodes(spark, path, first)
+    # corrupt every part file in place (bad footer)
+    import os
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            with open(os.path.join(path, f), "wb") as fh:
+                fh.write(b"not a parquet file")
+    second = spark.createDataFrame([("b", "v2")], ["id", "title"])
+    import pytest
+    with pytest.raises(Exception):
+        upsert_nodes(spark, path, second).collect()
+    # the live dir was not replaced by the delta-only table
+    names = set(os.listdir(path))
+    assert any(f.endswith(".parquet") for f in names)
+
+
+def test_upsert_missing_and_empty_dir_still_initialize(spark, tmp_path):
+    """Path-absence and a data-less directory remain legitimate
+    'no prior state' cases after the read-error hardening."""
+    import os
+
+    from openalex_neo4j_spark.materialize import upsert_nodes
+
+    p1 = str(tmp_path / "fresh")
+    df = spark.createDataFrame([("a", "v1")], ["id", "title"])
+    assert upsert_nodes(spark, p1, df).count() == 1
+
+    p2 = str(tmp_path / "emptydir")
+    os.makedirs(p2)
+    open(os.path.join(p2, "_marker"), "w").close()
+    assert upsert_nodes(spark, p2, df).count() == 1

@@ -214,3 +214,27 @@ def test_epoch_replay_is_idempotent(spark, pages_dir, tmp_path_factory):
     # simulated replay fed all pages), other partitions keep theirs:
     # crucially nothing was appended twice
     assert ep.select("url").distinct().count() == scholarly
+
+
+def test_migrate_flat_layout_skips_directories(tmp_path):
+    """A stray subdirectory at the top of mentions_stream must be left
+    in place (moving it under epoch=-1/ would break partition
+    discovery on read); only regular files migrate."""
+    import os
+    import warnings
+
+    from openalex_neo4j_spark.streaming import migrate_flat_layout
+
+    out = str(tmp_path / "out")
+    ms = os.path.join(out, "mentions_stream")
+    os.makedirs(os.path.join(ms, "straydir"))
+    open(os.path.join(ms, "straydir", "x.parquet"), "w").close()
+    open(os.path.join(ms, "part-00000.parquet"), "w").close()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        moved = migrate_flat_layout(out)
+    assert moved == 1
+    assert os.path.isdir(os.path.join(ms, "straydir"))
+    assert os.path.exists(os.path.join(ms, "epoch=-1",
+                                       "part-00000.parquet"))
+    assert any("straydir" in str(x.message) for x in w)

@@ -406,3 +406,22 @@ def test_compact_restores_clustering_and_pruning(spark, root):
     got = {r["k"]: r["val"] for r in t.read().collect()}
     assert got["k0001"] == -1 and got["k0062"] == -2 and got["k0005"] == -5
     assert len(got) == 64
+
+
+def test_overwrite_clustered_empty_input_commits_empty_snapshot(spark, root):
+    """compact() after a delete-all (empty current snapshot) routes an
+    empty frame through overwrite_clustered — it must commit an empty
+    snapshot (like delete_where's delete-all) instead of raising
+    'Unable to infer schema' on the zero-file read-back."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(spark, root, key="k")
+    df = spark.range(0, 8).select(
+        F.format_string("k%02d", F.col("id")).alias("k"),
+        F.col("id").alias("val"))
+    t.overwrite_clustered(df, 2)
+    t.delete_where("val >= 0")          # empty current snapshot
+    assert t.read().count() == 0
+    v = t.compact(4)                    # re-cluster the empty table
+    assert t._load_manifest(v)["groups"] == []
+    assert t.read().count() == 0
