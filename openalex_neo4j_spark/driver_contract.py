@@ -38,8 +38,25 @@ def _spread(df: DataFrame, *by: str) -> DataFrame:
     are partitioning-independent (aggregations/windows/top-k only)."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    files = df.inputFiles()
+    if len(files) >= target:
         return df
+    # A parquet file cannot be split below a row group, so the true
+    # max scan parallelism is the ROW-GROUP count, not the split count
+    # (the split count reported 32 for a 6-row-group file and hid the
+    # starvation). Footer reads are driver-local and milliseconds; any
+    # non-local / unreadable layout leaves the frame untouched.
+    import pyarrow.parquet as pq
+    n_groups = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else (
+            f[5:] if f.startswith("file:") else f)
+        try:
+            n_groups += pq.ParquetFile(p).metadata.num_row_groups
+        except Exception:
+            return df
+        if n_groups >= target:
+            return df
     return df.repartition(target, *by) if by else df.repartition(target)
 
 
@@ -175,10 +192,9 @@ def q_rrf_fusion(spark, sf):
     # compute over the whole text column and the single-split scan
     # would otherwise run it on one core; TakeOrderedAndProject below
     # is partitioning-independent.
-    ntok = _spread(d.select("doc_id", "text")).select(
+    ntok = _spread(d.select("doc_id", "text")).selectExpr(
         "doc_id",
-        F.size(F.array_distinct(
-            F.filter(F.split("text", " "), lambda t: t != ""))).alias("nd"),
+        "size(array_distinct(filter(split(text, ' '), t -> t != ''))) AS nd",
     )
     w2 = Window.orderBy(F.col("nd").desc(), "doc_id")
     leg2 = (ntok.select("doc_id", F.row_number().over(w2).alias("rf"))
@@ -467,20 +483,25 @@ def q_embedding_topk(spark, sf):
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe"))
     # _spread (round-robin): the dot/norm folds are per-row compute
-    # and the embeddings table arrives as one split
+    # and the embeddings table arrives as one split. The fold
+    # expressions are ONE batched SQL string — the nested-lambda
+    # Column composition cost ~0.25s of py4j construction per bench
+    # pass (same plan either way).
     b = _spread(e.filter(F.col("vec_id") != 0))
-    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
-    dot = F.aggregate(F.zip_with(dbl(F.col("embedding")), dbl(F.col("qe")),
-                                 lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(dbl(F.col("embedding")), F.lit(0.0),
-                            lambda acc, x: acc + x * x))
-    nq = F.sqrt(F.aggregate(dbl(F.col("qe")), F.lit(0.0),
-                            lambda acc, x: acc + x * x))
+    score = (
+        "CAST(floor("
+        "aggregate(zip_with(transform(embedding, v -> CAST(v AS DOUBLE)),"
+        "                   transform(qe, v -> CAST(v AS DOUBLE)),"
+        "                   (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        " / (sqrt(aggregate(transform(embedding, v -> CAST(v AS DOUBLE)),"
+        "                   0.0D, (acc, x) -> acc + x * x))"
+        "    * sqrt(aggregate(transform(qe, v -> CAST(v AS DOUBLE)),"
+        "                     0.0D, (acc, x) -> acc + x * x)))"
+        " * 1000000) AS BIGINT) AS score_micros"
+    )
     return (
         b.crossJoin(F.broadcast(q))
-        .select("vec_id",
-                F.floor(dot / (na * nq) * 1000000).cast("long").alias("score_micros"))
+        .selectExpr("vec_id", score)
         .orderBy(F.col("score_micros").desc(), "vec_id")
         .limit(10)
     )

@@ -244,31 +244,35 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     multiplicity, exactly as before.
     """
     nhex = bits // 4
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    # Expressions are built as batched SQL strings (selectExpr /
+    # F.expr), not per-call Column compositions: the ``bits``-wide
+    # aggregate otherwise costs hundreds of py4j round trips PER QUERY
+    # CONSTRUCTION — measured 0.45s of driver time per bench pass,
+    # exceeding the 0.26s execution (guide §1.2 step 2: per-task —
+    # here per-plan — work). The analyzed plan is identical.
+    toks = df.selectExpr(f"`{id_col}` AS id",
+                         f"explode(split(`{text_col}`, ' ')) AS tok"
+                         ).filter("tok != ''")
     # materialize the md5 nibbles ONCE per token in a projection below
     # the aggregate — the ``bits`` aggregate expressions then do pure
     # integer arithmetic instead of each re-deriving
     # conv(substring(md5(tok))) (codegen subexpression elimination is
     # not guaranteed across independent aggregate expressions)
-    hx = F.md5(F.col("tok"))
-    nibs = toks.select("id", *[
-        F.conv(F.substring(hx, i + 1, 1), 16, 10).cast("int").alias(f"_n{i}")
+    nibs = toks.selectExpr("id", "md5(tok) AS _hx").selectExpr("id", *[
+        f"CAST(conv(substring(_hx, {i + 1}, 1), 16, 10) AS INT) AS _n{i}"
         for i in range(nhex)
     ])
-    aggs = []
-    for b in range(bits):
-        bit = (F.shiftright(F.col(f"_n{b // 4}"), b % 4)
-               .bitwiseAND(F.lit(1)).cast("long"))
-        aggs.append(F.sum(bit * 2 - 1).alias(f"_s{b}"))
-    per_id = nibs.groupBy("id").agg(*aggs)
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        sig = sig + F.when(F.col(f"_s{b}") > 0,
-                           F.lit(1 << b).cast("long")).otherwise(F.lit(0))
-    return per_id.select("id", sig.alias("simhash"))
+    per_id = nibs.groupBy("id").agg(*[
+        F.expr(f"sum(CAST((shiftright(_n{b // 4}, {b % 4}) & 1) AS BIGINT)"
+               f" * 2 - 1) AS _s{b}")
+        for b in range(bits)
+    ])
+    pack = " + ".join(
+        f"(CASE WHEN _s{b} > 0 THEN CAST({1 << b} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return per_id.selectExpr("id", f"CAST({pack} AS BIGINT) AS simhash")
 
 
 def simhash64_signatures(df: DataFrame, id_col: str = "doc_id",
@@ -294,32 +298,31 @@ def simhash64_signatures(df: DataFrame, id_col: str = "doc_id",
     conditional aggregates inside a single groupBy (map-side partial
     agg, all whole-stage codegen; no 64-row-per-token explode).
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    # batched SQL strings for the same construction-cost reason as
+    # simhash_signatures (64 aggregates = ~600 py4j calls otherwise)
+    toks = df.selectExpr(f"`{id_col}` AS id",
+                         f"explode(split(`{text_col}`, ' ')) AS tok"
+                         ).filter("tok != ''")
     # nibbles materialized once per token below the aggregate (round-6:
     # same rationale as simhash_signatures — 64 aggregate expressions
     # must not each re-derive conv(substring(md5(tok))))
-    hx = F.md5(F.col("tok"))
-    nibs = toks.select("id", *[
-        F.conv(F.substring(hx, i + 1, 1), 16, 10).cast("int").alias(f"_n{i}")
+    nibs = toks.selectExpr("id", "md5(tok) AS _hx").selectExpr("id", *[
+        f"CAST(conv(substring(_hx, {i + 1}, 1), 16, 10) AS INT) AS _n{i}"
         for i in range(16)
     ])
-    aggs = []
-    for b in range(64):
-        bit = F.shiftright(F.col(f"_n{b // 4}"), b % 4).bitwiseAND(F.lit(1))
-        aggs.append(F.sum(bit * 2 - 1).alias(f"_s{b}"))
-    per_id = nibs.groupBy("id").agg(*aggs)
+    per_id = nibs.groupBy("id").agg(*[
+        F.expr(f"sum((shiftright(_n{b // 4}, {b % 4}) & 1) * 2 - 1)"
+               f" AS _s{b}")
+        for b in range(64)
+    ])
     band_cols = []
     for k in range(4):
-        expr = F.lit(0)
-        for j in range(16):
-            b = 16 * k + j
-            expr = expr + F.when(F.col(f"_s{b}") > 0,
-                                 F.lit(1 << j)).otherwise(F.lit(0))
-        band_cols.append(expr.cast("int").alias(f"b{k}"))
-    return per_id.select("id", *band_cols)
+        pack = " + ".join(
+            f"(CASE WHEN _s{16 * k + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(16)
+        )
+        band_cols.append(f"CAST({pack} AS INT) AS b{k}")
+    return per_id.selectExpr("id", *band_cols)
 
 
 def simhash64_near_duplicates(df: DataFrame, id_col: str = "doc_id",
