@@ -99,30 +99,34 @@ def _minhash_bands(titles: DataFrame, extra_cols: list[str] | None = None
     row; every downstream operator (explode, xxhash64, partial-agg
     min) is codegen."""
     extra_cols = extra_cols or []
-    arr = F.split(F.col("t"), " ")
+    # Expressions below are batched SQL strings (selectExpr/F.expr):
+    # the 16-hash/8-band Column composition cost ~0.3s of py4j round
+    # trips per build (round-6 construction audit) — pure driver time.
+    # The expression trees are identical to the previous Column forms
+    # (including the INT-typed band literal fed to xxhash64 — a LONG
+    # literal would change every band hash).
+    #
     # 0-based shingle starts 0..greatest(n-3, 0): full 3-word windows,
     # or the whole (short) title when n < 3 — bit-identical shingle
     # strings to the window/lead formulation (verified on fixtures)
-    shingle_arr = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(arr) - 3, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.get(arr, i), F.get(arr, i + 1),
-                              F.get(arr, i + 2)),
+    shingle_arr = (
+        "transform(sequence(0, greatest(size(split(t, ' ')) - 3, 0)),"
+        " i -> concat_ws(' ', get(split(t, ' '), i),"
+        " get(split(t, ' '), i + 1), get(split(t, ' '), i + 2)))"
     )
     # null titles produce no shingles (the explode of a null word array
     # dropped them in the window formulation too — without the filter,
     # size(null)=null would make every null-t row emit one '' shingle
     # and collapse all null-title groups into one LSH bucket)
-    shingled = titles.filter(F.col("t").isNotNull()).select(
-        "t", *extra_cols, F.explode(shingle_arr).alias("_sh"))
-    hash_cols = [
-        F.xxhash64(F.concat_ws("|", F.lit(str(seed)), F.col("_sh")))
-        .alias(f"_h{seed}")
-        for seed in range(NUM_HASHES)
-    ]
+    shingled = titles.filter("t IS NOT NULL").selectExpr(
+        "t", *extra_cols, f"explode({shingle_arr}) AS _sh")
     sig = (
-        shingled.select("t", *extra_cols, *hash_cols)
+        shingled.selectExpr("t", *extra_cols, *[
+            f"xxhash64(concat_ws('|', '{seed}', _sh)) AS _h{seed}"
+            for seed in range(NUM_HASHES)
+        ])
         .groupBy("t", *extra_cols)
-        .agg(*[F.min(f"_h{s}").alias(f"_s{s}") for s in range(NUM_HASHES)])
+        .agg(*[F.expr(f"min(_h{s}) AS _s{s}") for s in range(NUM_HASHES)])
     )
     # band key = ONE fixed-width long: xxhash64(band index, both
     # band signatures). The string concat variant ("<s0>|<s1>",
@@ -132,13 +136,12 @@ def _minhash_bands(titles: DataFrame, extra_cols: list[str] | None = None
     # cores stop helping. A cross-band hash collision only ADDs a
     # candidate pair, which TF-IDF scoring then rejects — blocking
     # stays a recall heuristic either way.
-    band_structs = F.array(*[
-        F.xxhash64(F.lit(b), F.col(f"_s{b * BAND_SIZE}"),
-                   F.col(f"_s{b * BAND_SIZE + 1}"))
+    band_exprs = ", ".join(
+        f"xxhash64({b}, _s{b * BAND_SIZE}, _s{b * BAND_SIZE + 1})"
         for b in range(NUM_HASHES // BAND_SIZE)
-    ])
-    return sig.select(
-        "t", *extra_cols, F.explode(band_structs).alias("band_key"))
+    )
+    return sig.selectExpr(
+        "t", *extra_cols, f"explode(array({band_exprs})) AS band_key")
 
 
 def _tfidf_weights(titles: DataFrame,
