@@ -1484,7 +1484,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # component (SnapshotTable MERGE) — inside the verified window
     "q_fulltext_range": q_fulltext_range,
     "q_snapshot_merge": q_snapshot_merge,
-    "q_salted_status_count": q_salted_status_count,
+    # round-6: simhash_signatures was restructured (one-exchange
+    # aggregation), so q_simhash rotates back inside the window per the
+    # ratchet rule below; q_salted_status_count rotates out — its
+    # oracle is literally the same SQL as q_orders_by_status (still
+    # in-window) and the salted==plain invariant is pytest-pinned
+    # (test_operators::test_salted_count_matches_plain)
+    "q_simhash": q_simhash,
     "q_image_dims": q_image_dims,
     "q_multimodal_decode": q_multimodal_decode,
     "q_events_hourly": q_events_hourly,
@@ -1512,12 +1518,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_cocited_pairs": kg_cocited_pairs,
     # --- tail: past the driver's 50-row window. Thin wrappers over
     # operators already hash-verified above, plus queries subsumed by
-    # an in-window superset (q_simhash by q_simhash64; q_lang_id's
-    # n-gram scoring by q_quality's sibling text.py path — both were
-    # hash-green in earlier rounds and their code is unchanged).
+    # an in-window superset (q_lang_id's n-gram scoring by q_quality's
+    # sibling text.py path; q_salted_status_count's oracle is the
+    # q_orders_by_status SQL verbatim and salted==plain is
+    # pytest-pinned — all hash-green in earlier rounds).
+    #
+    # STANDING RULE (the window-policy ratchet, round-5 verdict #7):
+    # any query whose implementation changes in a round MUST rotate
+    # back inside the first-50 window that round; only genuinely
+    # redundant, code-unchanged entries may sit here.
     "q_token_stats": q_token_stats,
     "q_fingerprint": q_fingerprint,
     "q_binary_meta": q_binary_meta,
-    "q_simhash": q_simhash,
+    "q_salted_status_count": q_salted_status_count,
     "q_lang_id": q_lang_id,
 }
